@@ -1,0 +1,93 @@
+"""The jitted BC train step.
+
+One compiled function does what the reference's per-epoch Python body
+does (main_bc_2.py:186-227): forward (MLP -> scan-LSTM -> heads), NLL
+loss against expert actions, grad, pre-clip global grad-norm metric,
+clip(40), torch-RMSprop update with the linear-decay factor.  Under a
+device mesh, the batch axis is sharded over 'data' and XLA inserts the
+grad all-reduce (see pvr_habitat_tpu.parallel).
+"""
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pvr_habitat_tpu.models import policy as policy_mod
+from pvr_habitat_tpu.train import optim
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: optim.RMSpropTorchState
+    rng: jax.Array
+
+
+def create_train_state(rng_np, obs_shape, num_actions, flags, *,
+                       conv_policy=False, max_epochs=None, seed=0):
+    """Fresh TrainState + the optimizer (kept for update fn closure)."""
+    if conv_policy:
+        params, stats = policy_mod.init_conv_policy_params(
+            rng_np, obs_shape, num_actions, batch_norm=flags.batch_norm)
+    else:
+        params, stats = policy_mod.init_policy_params(
+            rng_np, obs_shape[0], num_actions, batch_norm=flags.batch_norm)
+    opt = optim.rmsprop_torch(
+        flags.learning_rate, alpha=flags.alpha, eps=flags.epsilon,
+        momentum=flags.momentum, max_epochs=max_epochs)
+    state = TrainState(
+        params=params,
+        batch_stats=stats,
+        opt_state=opt.init(params),
+        rng=jax.random.PRNGKey(seed),
+    )
+    return state, opt
+
+
+def nll_loss(logits, actions):
+    """F.nll_loss(F.log_softmax(logits), target): mean cross entropy
+    over the merged (T*B) axis (reference: main_bc_2.py:211-214)."""
+    flat_logits = logits.reshape(-1, logits.shape[-1])
+    flat_actions = actions.reshape(-1).astype(jnp.int32)
+    return optax.softmax_cross_entropy_with_integer_labels(
+        flat_logits, flat_actions).mean()
+
+
+def make_train_step(opt, *, batch_norm=False, conv_policy=False,
+                    max_grad_norm=40.0, donate=True):
+    """Returns jitted step(state, batch) -> (state, metrics).
+
+    batch: dict(obs=(T, B, ...), action=(T, B), done=(T, B)).
+    metrics: dict(loss, gradient_norm) — pre-clip norm, as logged by the
+    reference.
+    """
+    apply_fn = (policy_mod.apply_conv_policy if conv_policy
+                else policy_mod.apply_policy)
+
+    def step(state, batch):
+        rng, sample_rng = jax.random.split(state.rng)
+        t, b = batch["action"].shape
+        init_state = policy_mod.initial_state(b)
+
+        def loss_fn(params):
+            outputs, _, new_stats = apply_fn(
+                params, state.batch_stats,
+                dict(obs=batch["obs"], done=batch["done"]),
+                init_state, batch_norm=batch_norm, train=True,
+                rng=sample_rng)
+            return nll_loss(outputs["policy_logits"], batch["action"]), \
+                new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads, gnorm = optim.clip_by_global_norm_torch(grads, max_grad_norm)
+        updates, new_opt_state = opt.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, new_stats, new_opt_state, rng)
+        return new_state, dict(loss=loss, gradient_norm=gnorm)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

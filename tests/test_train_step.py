@@ -1,0 +1,110 @@
+"""Train-step parity: N iterations of our jitted BC step must track a
+torch loop implementing the reference semantics (NLL loss, LambdaLR
+stepped before the optimizer, clip_grad_norm_(40), RMSprop) to high
+precision — losses, grad norms, and final parameters."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from pvr_habitat_tpu.data import sampler
+from pvr_habitat_tpu.models import convert
+from pvr_habitat_tpu.train import bc_step, optim
+from pvr_habitat_tpu.utils.flags import default_flags
+from tests.torch_ref.policy import TorchPolicy
+
+T, B, OBS, ACTIONS = 5, 4, 16, 3
+MAX_EPOCHS = 50
+
+
+def _batches(n_iters, seed=0):
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n_iters):
+        out.append(dict(
+            obs=rng.randn(T, B, OBS).astype(np.float32),
+            action=rng.randint(0, ACTIONS, size=(T, B)).astype(np.int64),
+            done=(rng.rand(T, B) < 0.2),
+        ))
+    return out
+
+
+def _torch_loop(model, batches, lr=1e-3):
+    opt = torch.optim.RMSprop(model.parameters(), lr=lr, momentum=0.0,
+                              eps=1e-5, alpha=0.99)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda epoch: 1 - epoch / MAX_EPOCHS)
+    losses, gnorms = [], []
+    for batch in batches:
+        logits, _, _ = model(torch.from_numpy(batch["obs"]),
+                             torch.from_numpy(batch["done"]),
+                             model.initial_state(B))
+        loss = F.nll_loss(F.log_softmax(logits.flatten(0, 1), dim=-1),
+                          torch.from_numpy(batch["action"]).flatten())
+        sched.step()
+        opt.zero_grad()
+        loss.backward()
+        gnorm = 0.0
+        for p in model.parameters():
+            if p.grad is not None:
+                gnorm += float(p.grad.detach().norm(2)) ** 2
+        gnorms.append(gnorm ** 0.5)
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 40.0)
+        opt.step()
+        losses.append(float(loss))
+    return losses, gnorms
+
+
+def test_train_step_parity_full_loop():
+    batches = _batches(6)
+    model = TorchPolicy(OBS, ACTIONS)
+    model.train()
+    params = convert.torch_state_dict_to_flat(model.state_dict())
+
+    flags = default_flags(learning_rate=1e-3, batch_norm=False)
+    opt = optim.rmsprop_torch(1e-3, alpha=0.99, eps=1e-5,
+                              max_epochs=MAX_EPOCHS)
+    state = bc_step.TrainState(
+        params=params, batch_stats={}, opt_state=opt.init(params),
+        rng=__import__("jax").random.PRNGKey(0))
+    step = bc_step.make_train_step(opt, donate=False)
+
+    our_losses, our_gnorms = [], []
+    for batch in batches:
+        state, metrics = step(state, {k: jnp.asarray(v)
+                                      for k, v in batch.items()})
+        our_losses.append(float(metrics["loss"]))
+        our_gnorms.append(float(metrics["gradient_norm"]))
+
+    want_losses, want_gnorms = _torch_loop(model, batches)
+    np.testing.assert_allclose(our_losses, want_losses, atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(our_gnorms, want_gnorms, atol=5e-3, rtol=5e-3)
+
+    # Final parameters agree across the 6 updates.  Early RMSprop steps
+    # divide by sqrt(square_avg) ~ |g|, so float-eps gradient differences
+    # get amplified on a few elements; 5e-3 is the realistic bound.
+    want = convert.torch_state_dict_to_flat(model.state_dict())
+    for key in want:
+        np.testing.assert_allclose(
+            np.asarray(state.params[key]), np.asarray(want[key]),
+            atol=5e-3, rtol=1e-3, err_msg=key)
+
+
+def test_sample_with_minimum_distance_properties():
+    import random as pyrandom
+    pyrandom.seed(7)
+    for _ in range(20):
+        starts = sampler.sample_with_minimum_distance(n=1000, k=8, d=100)
+        assert len(starts) == 8
+        assert all(0 <= s < 1000 for s in starts)
+        s = sorted(starts)
+        assert all(b - a >= 100 for a, b in zip(s, s[1:]))
+
+
+def test_gather_unrolls_wraparound():
+    data = dict(obs=np.arange(10, dtype=np.float32).reshape(10, 1))
+    out = sampler.gather_unrolls(data, [7], 5)
+    np.testing.assert_array_equal(
+        np.asarray(out["obs"]).ravel(), [7, 8, 9, 0, 1])
