@@ -1,0 +1,267 @@
+"""Unified BC trainer.
+
+One parameterized ``run(flags, mode)`` implements the reference's three
+entry points (cited lines are the behavior contract):
+
+- mode='precomputed'   — main_bc_2.py:26-262 (train on cached embeddings)
+- mode='embed_at_load' — main_bc_1.py:26-274 (embed raw frames at load
+                         time; required for the seed-dependent 'random'
+                         encoder)
+- mode='finetune'      — main_bc_finetune.py:25-247 (end-to-end conv
+                         policy on raw pixels)
+
+TPU-first: the dataset is device-resident when it fits, unroll gathering
+is a jitted take, the train step is one compiled function, and metrics
+stay on device between eval points (async dispatch — the host never
+blocks inside the hot loop).
+"""
+
+import copy
+import os
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pvr_habitat_tpu.data import formats, sampler
+from pvr_habitat_tpu.envs.environment import make_environment
+from pvr_habitat_tpu.models.embedding_net import EmbeddingNet
+from pvr_habitat_tpu.train import bc_step
+from pvr_habitat_tpu.train.evaluate import PolicyRunner, test
+from pvr_habitat_tpu.utils import checkpoint as ckpt
+from pvr_habitat_tpu.utils import stats as stats_util
+
+
+def _embed_in_minibatches(embedding_model, obs, batch_size, limit=None):
+    """Minibatched bulk embedding with the stacked-frame split/merge dance
+    (reference: main_bc_1.py:127-138, save_embedded_obs.py:147-157)."""
+    n = obs.shape[0] if limit is None else min(limit, obs.shape[0])
+    n_frames = max(obs.shape[3] // 3, 1)
+    chunks = []
+    for i in range(0, n, batch_size):
+        o = obs[i:i + batch_size]
+        if o.shape[-1] == 1:  # grayscale (Atari): repeat to RGB
+            o = np.repeat(o, 3, -1)
+        o = np.concatenate(np.split(o, n_frames, axis=3), axis=0)
+        o = embedding_model(o)
+        o = np.concatenate(np.split(np.asarray(o), n_frames, axis=0), axis=-1)
+        chunks.append(o)
+    return np.concatenate(chunks)[:n]
+
+
+def _load_precomputed(flags, from_env):
+    """main_bc_2.py:111-148 data loading."""
+    parts = {k: [] for k in ("obs", "action", "reward", "done")}
+    for env_id in from_env.split(","):
+        if flags.embedding_name == "true_state":
+            # true_state is saved with every embedding; take resnet50's.
+            path = formats.embedded_path(flags.data_path, env_id, "resnet50")
+        else:
+            path = formats.embedded_path(flags.data_path, env_id,
+                                         flags.embedding_name)
+        data = formats.load_pickle(path)
+        n = (flags.batch_size * flags.unroll_length if flags.debug
+             else data["obs"].shape[0])
+        obs_key = "true_state" if flags.embedding_name == "true_state" \
+            else "obs"
+        parts["obs"].append(np.asarray(data[obs_key][:n]))
+        for key in ("action", "reward", "done"):
+            parts[key].append(np.asarray(data[key][:n]))
+    return {k: np.concatenate(v) for k, v in parts.items()}
+
+
+def _load_embed_at_load(flags, from_env, embedding_model):
+    """main_bc_1.py:115-150 data loading."""
+    parts = {k: [] for k in ("obs", "action", "reward", "done")}
+    for env_id in from_env.split(","):
+        data = formats.read_habitat_data(
+            formats.raw_path(flags.data_path, env_id))
+        n = (flags.batch_size * flags.unroll_length if flags.debug
+             else data["obs"].shape[0])
+        print("   passing observations through embedding model")
+        parts["obs"].append(_embed_in_minibatches(
+            embedding_model, data["obs"], flags.batch_size, limit=n))
+        for key in ("action", "reward", "done"):
+            parts[key].append(np.asarray(data[key][:n]))
+    return {k: np.concatenate(v) for k, v in parts.items()}
+
+
+def _load_finetune(flags, from_env):
+    """main_bc_finetune.py:103-125: raw pixel trajectories."""
+    parts = {k: [] for k in ("obs", "action", "reward", "done")}
+    for env_id in from_env.split(","):
+        data = formats.load_pickle(formats.raw_path(flags.data_path, env_id))
+        n_traj = (flags.batch_size * flags.unroll_length if flags.debug
+                  else len(data["obs"]))
+        for key in ("obs", "action", "reward", "done"):
+            parts[key].append(np.concatenate(data[key][:n_traj]))
+    return {k: np.concatenate(v) for k, v in parts.items()}
+
+
+def run(flags, mode="precomputed"):
+    flags = copy.copy(flags)
+    # Fix seeds (reference: main_bc_2.py:28-31).
+    np.random.seed(flags.run_id)
+    random.seed(flags.run_id)
+
+    if flags.debug:
+        flags.n_episodes_test = int(min(2, flags.n_episodes_test))
+
+    from_env = flags.env
+    to_env = flags.to_env
+    conv_policy = mode == "finetune"
+    embedding_label = "random_finetuned" if conv_policy else None
+
+    os.makedirs(flags.save_path, exist_ok=True)
+    save_path = stats_util.run_save_path(flags, embedding_label)
+
+    # Resume probe (main_bc_2.py:49-56).
+    resume = False
+    if os.path.isfile(save_path + ".pickle"):
+        stats = stats_util.load_stats(save_path + ".pickle")
+        if stats[to_env]["frames"][-1] >= flags.max_frames:
+            print("   WARNING! This run was already completed. Stopping now.")
+            return
+        resume = True
+
+    embedding_model = None
+    if not conv_policy:
+        embedding_model = EmbeddingNet(
+            flags.embedding_name, in_channels=3,
+            pretrained=flags.pretrained_embedding if mode == "embed_at_load"
+            else True,
+            train=False, checkpoint_dir=flags.data_path,
+            run_id=flags.run_id,
+            compute_dtype=jnp.bfloat16
+            if flags.compute_dtype == "bfloat16" else jnp.float32)
+
+    env_flags = copy.copy(flags)
+    env_flags.env = to_env
+    env = make_environment(env_flags, embedding_model)
+    obs_shape = env.gym_env.observation_space.shape
+    num_actions = env.gym_env.action_space.n
+
+    max_epochs = flags.max_frames // (flags.unroll_length
+                                      * flags.batch_size) + 1
+    state, opt = bc_step.create_train_state(
+        np.random.RandomState(flags.run_id), obs_shape, num_actions, flags,
+        conv_policy=conv_policy, max_epochs=max_epochs, seed=flags.run_id)
+
+    if resume:
+        payload = ckpt.load_checkpoint(save_path + ".tar")
+        if embedding_model is not None and \
+                "embedding_model_state_dict" in payload:
+            embedding_model.load_state_dict(
+                payload["embedding_model_state_dict"])
+        params, batch_stats = ckpt.split_actor_state(
+            payload["actor_model_state_dict"])
+        state = bc_step.TrainState(params, batch_stats,
+                                   ckpt.restore_opt_state(payload),
+                                   state.rng)
+
+    print("=== BC run ===")
+    print("   embedding:", embedding_label or flags.embedding_name)
+    print("   training environment(s):", from_env)
+    print("   testing environment(s):", to_env)
+    if flags.debug:
+        print("   RUNNING IN DEBUG MODE!")
+
+    print("=== Loading trajectories ===")
+    if mode == "precomputed":
+        data = _load_precomputed(flags, from_env)
+    elif mode == "embed_at_load":
+        data = _load_embed_at_load(flags, from_env, embedding_model)
+    elif mode == "finetune":
+        data = _load_finetune(flags, from_env)
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+
+    n_samples = len(data["reward"])
+    assert len(data["obs"]) == len(data["action"]) == n_samples == \
+        len(data["done"]), "data length does not match"
+    assert n_samples > 0, "no data found"
+    print("   total number of samples", n_samples)
+
+    train_data = dict(
+        obs=np.asarray(data["obs"], np.uint8 if conv_policy else np.float32),
+        action=np.asarray(data["action"], np.int32),
+        done=np.asarray(data["done"], bool),
+    )
+    train_data, on_device = sampler.maybe_device_put(
+        train_data, mode=flags.data_on_device)
+
+    stat_keys = list(stats_util.STAT_KEYS)
+
+    def make_runner():
+        return PolicyRunner(state.params, state.batch_stats,
+                            batch_norm=flags.batch_norm,
+                            conv_policy=conv_policy)
+
+    if resume:
+        print("=== Resuming previous run ===")
+        stats = stats_util.load_stats(save_path + ".pickle")
+        init_frames = stats[to_env]["frames"][-1]
+        for key in ("frames", "training_loss", "gradient_norm"):
+            print("  ", key, stats[to_env][key][-1])
+    else:
+        print("=== Initial evaluation ===")
+        stats = stats_util.new_stats(to_env, stat_keys)
+        stats_ep = test(make_runner(), env, stat_keys, flags.n_episodes_test)
+        stats_util.append_eval(stats, to_env, stats_ep, stat_keys)
+        for k in stat_keys:
+            print("  ", k, np.mean(stats_ep[k]))
+        stats[to_env]["frames"].append(0)
+        stats[to_env]["training_loss"].append(np.nan)
+        stats[to_env]["gradient_norm"].append(np.nan)
+        init_frames = 0
+
+    step_fn = bc_step.make_train_step(
+        opt, batch_norm=flags.batch_norm, conv_policy=conv_policy,
+        max_grad_norm=flags.max_grad_norm)
+
+    print("=== Training policy ===")
+    frames_per_epoch = flags.batch_size * flags.unroll_length
+    metrics = None
+    for frames in range(init_frames, flags.max_frames, frames_per_epoch):
+        epoch = frames // frames_per_epoch
+        starts = sampler.sample_with_minimum_distance(
+            n=n_samples, k=flags.batch_size, d=flags.unroll_length)
+        batch = sampler.gather_unrolls(train_data, starts,
+                                       flags.unroll_length)
+        state, metrics = step_fn(state, batch)
+
+        if (epoch + 1) % flags.eval_frequency == 0:
+            if (flags.essential_save_only and stats_util.is_essential_save(
+                    epoch, max_epochs, flags.eval_frequency)) or \
+                    not flags.essential_save_only:
+                stats_ep = test(make_runner(), env, stat_keys,
+                                flags.n_episodes_test)
+                stats_util.append_eval(stats, to_env, stats_ep, stat_keys)
+                for k in stat_keys:
+                    print("  ", k, np.mean(stats_ep[k]))
+            else:
+                stats_util.append_nan_eval(stats, to_env, stat_keys)
+
+            loss = float(metrics["loss"])
+            gnorm = float(metrics["gradient_norm"])
+            stats[to_env]["frames"].append(frames)
+            stats[to_env]["training_loss"].append(loss)
+            stats[to_env]["gradient_norm"].append(gnorm)
+            print("   frames", frames)
+            print("   training loss", loss)
+            print("   gradient norm", gnorm)
+
+            if not flags.disable_save:
+                stats_util.save_stats(save_path + ".pickle", stats)
+                ckpt.save_checkpoint(
+                    save_path + ".tar",
+                    actor_params=state.params,
+                    actor_batch_stats=state.batch_stats,
+                    opt_state=state.opt_state,
+                    flags=flags,
+                    embedding_state=embedding_model.state_dict()
+                    if embedding_model is not None else None)
+
+    env.close()
+    return stats

@@ -83,6 +83,9 @@ def build_parser():
     parser.add_argument("--embed_batch_size", type=int, default=0,
                         help="Per-step batch for bulk embedding; "
                              "0 = use --batch_size (reference semantics).")
+    parser.add_argument("--max_episode_steps", type=int, default=0,
+                        help="Override the simulator episode step limit "
+                             "(0 = simulator default, 500 for nav tasks).")
     parser.add_argument("--data_on_device", type=str, default="auto",
                         choices=["auto", "always", "never"],
                         help="Keep the BC dataset resident in HBM and gather "
