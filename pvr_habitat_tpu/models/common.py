@@ -19,6 +19,16 @@ import jax.numpy as jnp
 DEFAULT_PRECISION = jax.lax.Precision.HIGHEST
 
 
+def _precision_for(x, precision):
+    """fp32 runs at HIGHEST (parity grade); bf16 runs the native MXU path
+    (HIGHEST on bf16 operands would force multi-pass emulation)."""
+    if precision is not None:
+        return precision
+    if x.dtype == jnp.bfloat16:
+        return jax.lax.Precision.DEFAULT
+    return DEFAULT_PRECISION
+
+
 def sub(params, prefix):
     """View of a flat param dict under a key prefix."""
     pre = prefix + "."
@@ -40,7 +50,7 @@ def conv2d(x, w, stride=1, padding=0, precision=None, bias=None):
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=precision or DEFAULT_PRECISION,
+        precision=_precision_for(x, precision),
     )
     if bias is not None:
         y = y + bias.astype(y.dtype)
@@ -70,7 +80,7 @@ def batch_norm(x, p, prefix, eps=1e-5, train=False):
 def linear(x, p, prefix, precision=None):
     """torch nn.Linear: weight (out, in), y = x @ w.T + b."""
     w = p[f"{prefix}.weight"].astype(x.dtype)
-    y = jnp.matmul(x, w.T, precision=precision or DEFAULT_PRECISION)
+    y = jnp.matmul(x, w.T, precision=_precision_for(x, precision))
     b = p.get(f"{prefix}.bias")
     if b is not None:
         y = y + b.astype(x.dtype)

@@ -32,7 +32,11 @@ def torch_state_dict_to_flat(state_dict, transpose_conv=True):
         arr = _to_numpy(value)
         if transpose_conv and arr.ndim == 4:
             arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
-        out[key] = jnp.asarray(arr)
+        # jnp.array (copy) rather than asarray: on the CPU backend,
+        # asarray can zero-copy alias the torch tensor's buffer, and
+        # later in-place torch mutations (e.g. BN running stats) would
+        # silently corrupt the converted params.
+        out[key] = jnp.array(arr)
     return out
 
 

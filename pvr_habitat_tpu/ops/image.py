@@ -110,8 +110,10 @@ def resize(x, out_hw, method="bilinear", antialias=False,
     """Resize NHWC float images via two MXU matmuls."""
     n, h, w, c = x.shape
     oh, ow = out_hw
-    wh = jnp.asarray(resize_matrix(h, oh, method, antialias))
-    ww = jnp.asarray(resize_matrix(w, ow, method, antialias))
+    wh = jnp.asarray(resize_matrix(h, oh, method, antialias), x.dtype)
+    ww = jnp.asarray(resize_matrix(w, ow, method, antialias), x.dtype)
+    if x.dtype == jnp.bfloat16:
+        precision = jax.lax.Precision.DEFAULT
     x = jnp.einsum("ab,nbwc->nawc", wh, x, precision=precision)
     x = jnp.einsum("ab,nhbc->nhac", ww, x, precision=precision)
     return x
@@ -174,7 +176,11 @@ class Preprocess:
                  out_dtype=jnp.float32):
         """frames: (N, H, W, 3) uint8 (or float already in [0, 255])."""
         was_uint8 = frames.dtype == jnp.uint8
-        x = frames.astype(jnp.float32)
+        # Fast path: bf16 end-to-end (uint8 values 0..255 are exact in
+        # bf16); parity path computes in f32 at HIGHEST precision.
+        work_dtype = jnp.bfloat16 if out_dtype == jnp.bfloat16 \
+            else jnp.float32
+        x = frames.astype(work_dtype)
         if self.bgr:
             # Intended channel swap. The reference's _rgb_to_bgr indexes the
             # H dim of an NCHW tensor (src/embeddings.py:285-288) — a bug we
@@ -186,9 +192,9 @@ class Preprocess:
             x = quantize_uint8(x)
         x = center_crop(x, self.crop_size)
         if self.scale_to_unit:
-            x = x / 255.0
-        mean = jnp.asarray(self.mean, dtype=jnp.float32)
-        std = jnp.asarray(self.std, dtype=jnp.float32)
+            x = x / jnp.asarray(255.0, x.dtype)
+        mean = jnp.asarray(self.mean, dtype=x.dtype)
+        std = jnp.asarray(self.std, dtype=x.dtype)
         x = (x - mean) / std
         return x.astype(out_dtype)
 

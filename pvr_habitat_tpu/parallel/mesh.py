@@ -1,0 +1,92 @@
+"""Device mesh + sharding rules.
+
+Parallelism design (SURVEY.md §2.3): the reference is single-GPU per
+job; here data parallelism is first-class and tensor parallelism is a
+config knob.  A 2-D mesh ('data', 'model'):
+
+- batch axes shard over 'data' (per-shard loss/grads; XLA inserts the
+  psum all-reduce over ICI when grads feed replicated params);
+- the policy's 1024-wide hidden layers and the LSTM's 4H gate dimension
+  shard over 'model' (row-parallel matmuls; GSPMD places the
+  collectives);
+- pipeline/expert parallelism are documented non-goals at this model
+  scale (models <= ~630 M params).
+"""
+
+import numpy as np
+import jax
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape=None, devices=None):
+    """shape: (data, model) or None for all-devices data-parallel."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    assert shape[0] * shape[1] == n, f"mesh {shape} != {n} devices"
+    dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def parse_mesh_shape(text):
+    """'4,2' -> (4, 2); '' -> None."""
+    if not text:
+        return None
+    parts = [int(p) for p in text.split(",")]
+    return (parts[0], 1) if len(parts) == 1 else tuple(parts[:2])
+
+
+# -- sharding rules -----------------------------------------------------------
+
+
+def policy_param_spec(name, shape):
+    """TP rules for policy params (flat torch-named keys)."""
+    if name.startswith("fc.") and name.endswith(".weight") and len(shape) == 2:
+        return P("model", None)          # (1024, in): row-parallel
+    if name.startswith("fc.") and name.endswith(".bias"):
+        return P("model")
+    if ".weight_ih_" in name or ".weight_hh_" in name:
+        return P("model", None)          # (4H, in): gate rows sharded
+    if ".bias_ih_" in name or ".bias_hh_" in name:
+        return P("model")
+    return P()                            # heads, BN, conv stem: replicated
+
+
+def encoder_param_spec(name, shape):
+    """TP rules for encoder params: shard the widest conv output dims."""
+    if len(shape) == 4 and shape[-1] >= 512:
+        return P(None, None, None, "model")   # HWIO: out-channel sharded
+    if len(shape) == 2 and shape[0] >= 512:
+        return P("model", None)
+    return P()
+
+
+def shard_params(mesh, params, rule=policy_param_spec):
+    out = {}
+    for name, value in params.items():
+        spec = rule(name, np.shape(value))
+        out[name] = jax.device_put(value, NamedSharding(mesh, spec))
+    return out
+
+
+def shard_batch_spec(ndim, batch_axis=1):
+    """(T, B, ...) arrays: B over 'data'."""
+    spec = [None] * ndim
+    spec[batch_axis] = "data"
+    return P(*spec)
+
+
+def shard_batch(mesh, batch, batch_axis=1):
+    out = {}
+    for key, value in batch.items():
+        out[key] = jax.device_put(
+            value, NamedSharding(mesh, shard_batch_spec(value.ndim,
+                                                        batch_axis)))
+    return out
+
+
+def replicate(mesh, tree):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
