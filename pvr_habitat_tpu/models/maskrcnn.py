@@ -1,0 +1,129 @@
+"""Mask-R-CNN encoder: the ResNet-50-C4 backbone up to res4 with an
+11-channel compression BasicBlock grafted at the end of res4
+(reference: src/vision_models/maskrcnn.py:23-137).  The reference
+instantiates a full detectron2 GeneralizedRCNN, then keeps only
+``model.backbone`` and empties ``res4[7]`` (the 11->1024 block), so the
+encoder output is the 11-channel res4 map — flattened 11*14*14 = 2156
+for 224x224 inputs (matching the other 'l3' encoders).
+
+detectron2 specifics honored: FrozenBN (== eval-mode BN), stride on the
+1x1 conv (stride_in_1x1=True — torchvision puts it on the 3x3), norm
+params stored as '<conv>.norm.*', shortcut named 'shortcut[.norm]'.
+"""
+
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+
+from pvr_habitat_tpu.models import common as cm
+from pvr_habitat_tpu.models import convert
+from pvr_habitat_tpu.ops import image as im
+
+STAGES = {"res2": (3, 64, 256, 1), "res3": (4, 128, 512, 2),
+          "res4": (6, 256, 1024, 2)}
+
+
+def _frozen_bn(x, p, prefix):
+    return cm.batch_norm(x, p, prefix, train=False)
+
+
+def _bottleneck(x, p, prefix, stride):
+    identity = x
+    # stride_in_1x1=True: the stride sits on conv1.
+    y = cm.conv2d(x, p[f"{prefix}.conv1.weight"], stride, 0)
+    y = jnp.maximum(_frozen_bn(y, p, f"{prefix}.conv1.norm"), 0)
+    y = cm.conv2d(y, p[f"{prefix}.conv2.weight"], 1, 1)
+    y = jnp.maximum(_frozen_bn(y, p, f"{prefix}.conv2.norm"), 0)
+    y = cm.conv2d(y, p[f"{prefix}.conv3.weight"], 1, 0)
+    y = _frozen_bn(y, p, f"{prefix}.conv3.norm")
+    if f"{prefix}.shortcut.weight" in p:
+        identity = cm.conv2d(x, p[f"{prefix}.shortcut.weight"], stride, 0)
+        identity = _frozen_bn(identity, p, f"{prefix}.shortcut.norm")
+    return jnp.maximum(y + identity, 0)
+
+
+def _basic(x, p, prefix, stride):
+    identity = x
+    y = cm.conv2d(x, p[f"{prefix}.conv1.weight"], stride, 1)
+    y = jnp.maximum(_frozen_bn(y, p, f"{prefix}.conv1.norm"), 0)
+    y = cm.conv2d(y, p[f"{prefix}.conv2.weight"], 1, 1)
+    y = _frozen_bn(y, p, f"{prefix}.conv2.norm")
+    if f"{prefix}.shortcut.weight" in p:
+        identity = cm.conv2d(x, p[f"{prefix}.shortcut.weight"], stride, 0)
+        identity = _frozen_bn(identity, p, f"{prefix}.shortcut.norm")
+    return jnp.maximum(y + identity, 0)
+
+
+def apply(params, x, train=False):
+    """x: (N, 224, 224, 3) BGR mean-subtracted NHWC -> (N, 2156)."""
+    del train  # FrozenBN everywhere
+    y = cm.conv2d(x, params["stem.conv1.weight"], 2, 3)
+    y = jnp.maximum(_frozen_bn(y, params, "stem.conv1.norm"), 0)
+    y = cm.max_pool(y, 3, 2, 1)
+    for stage, (blocks, _, _, stride) in STAGES.items():
+        for i in range(blocks):
+            y = _bottleneck(y, params, f"{stage}.{i}",
+                            stride if i == 0 else 1)
+    # res4.6: the 1024 -> 11 compression BasicBlock; res4.7 was emptied.
+    y = _basic(y, params, "res4.6", 1)
+    return jnp.transpose(y, (0, 3, 1, 2)).reshape(y.shape[0], -1)
+
+
+def init_params(rng):
+    out = {}
+
+    def conv(name, o, i, k, bn_ch=None):
+        out[f"{name}.weight"] = cm.kaiming_normal_conv(rng, (o, i, k, k))
+        ch = bn_ch or o
+        out[f"{name}.norm.weight"] = np.ones(ch, np.float32)
+        out[f"{name}.norm.bias"] = np.zeros(ch, np.float32)
+        out[f"{name}.norm.running_mean"] = np.zeros(ch, np.float32)
+        out[f"{name}.norm.running_var"] = np.ones(ch, np.float32)
+
+    conv("stem.conv1", 64, 3, 7)
+    cin = 64
+    for stage, (blocks, planes, cout, stride) in STAGES.items():
+        for i in range(blocks):
+            pre = f"{stage}.{i}"
+            conv(f"{pre}.conv1", planes, cin, 1)
+            conv(f"{pre}.conv2", planes, planes, 3)
+            conv(f"{pre}.conv3", cout, planes, 1)
+            if i == 0:
+                conv(f"{pre}.shortcut", cout, cin, 1)
+            cin = cout
+    conv("res4.6.conv1", 11, 1024, 3)
+    conv("res4.6.conv2", 11, 11, 3)
+    conv("res4.6.shortcut", 11, 1024, 1)
+    return {k: jnp.asarray(v) for k, v in out.items()}
+
+
+def build_maskrcnn_encoder(pretrained=True, checkpoint_dir=None):
+    from pvr_habitat_tpu.models.registry import (CHECKPOINT_FILES,
+                                                 EncoderHandle,
+                                                 _find_checkpoint,
+                                                 _name_seed)
+
+    name = "maskrcnn_l3"
+    path = _find_checkpoint(name, checkpoint_dir) if pretrained else None
+    if path is not None:
+        ckpt = convert.load_torch_checkpoint(path)
+        state_dict = ckpt.get("model", ckpt)
+        # Keep only backbone.* keys (the reference discards proposal
+        # generator / ROI heads, maskrcnn.py:134).
+        state_dict = {k[len("backbone."):]: v for k, v in state_dict.items()
+                      if k.startswith("backbone.")}
+        expected = set(init_params(np.random.RandomState(0)))
+        flat = convert.torch_state_dict_to_flat(state_dict)
+        params = {k: v for k, v in flat.items() if k in expected}
+        convert.check_expected(params, expected, context=name)
+    else:
+        if pretrained:
+            warnings.warn(f"encoder '{name}': checkpoint "
+                          f"{CHECKPOINT_FILES[name]} not found; random init")
+        params = init_params(np.random.RandomState(_name_seed(name)))
+
+    return EncoderHandle(
+        name, im.maskrcnn_preprocess(),
+        lambda p, x, train=False: apply(p, x, train=train),
+        params, 11 * 14 * 14)
