@@ -1,0 +1,274 @@
+"""Sweep runner — the reference's Slurm/submitit layer
+(slurm_bc.py:34-217, slurm_eo.py, slurm_bc_finetune.py) generalized to
+executors:
+
+- ``local``   — run jobs sequentially in-process (the --local path);
+- ``subprocess`` — one Python subprocess per job (isolation without a
+  cluster);
+- ``slurm``   — submitit SlurmExecutor when submitit is installed.
+
+Semantics preserved: cartesian grid expansion with xpid naming,
+per-env max_frames table, transfer-run skip (to_env not in env),
+completed-run skip via the stats pickle (with the unroll*batch
+tolerance, slurm_bc.py:165), forced essential_save_only and batch_norm
+(except true_state), and the random->embed-at-load routing.  The
+skip/resume contract makes relaunches elastic and crash-tolerant.
+"""
+
+import argparse
+import copy
+import itertools
+import os
+import pickle
+import subprocess
+import sys
+
+from pvr_habitat_tpu.utils.flags import build_parser
+
+DEFAULT_MAX_FRAMES = 200000000
+MAX_FRAMES_BY_ENV = {
+    "HabitatImageNav-apartment_0": 200000000,
+    "HabitatPointNav-apartment_0": 2000000,
+}
+
+
+def make_prefix(key):
+    return "".join(w[0] for w in key.split("_"))
+
+
+def expand_args(params, max_frames_map=None):
+    """Cartesian product over list-valued entries, with xpid naming."""
+    max_frames_map = max_frames_map or MAX_FRAMES_BY_ENV
+    sweep_args = {k: v for k, v in params.items() if isinstance(v, list)}
+    sweep = [dict(zip(sweep_args.keys(), vs))
+             for vs in itertools.product(*sweep_args.values())]
+    expanded = []
+    for swargs in sweep:
+        new_args = {**params, **swargs}
+        new_args["xpid"] = "--".join(
+            f"{make_prefix(k)}={v}" for k, v in swargs.items())
+        new_args["max_frames"] = max_frames_map.get(
+            new_args["env"], DEFAULT_MAX_FRAMES)
+        expanded.append(new_args)
+    return expanded
+
+
+def make_command(params):
+    return list(itertools.chain(
+        *[(f"--{k}", str(v)) for k, v in params.items()]))
+
+
+def is_run_completed(flags):
+    save_path = os.path.join(
+        flags.save_path,
+        f"{flags.env}_em{flags.embedding_name}_s{flags.run_id}"
+        f"_{flags.to_env}")
+    if not os.path.isfile(save_path + ".pickle"):
+        return False
+    with open(save_path + ".pickle", "rb") as handle:
+        stats = pickle.load(handle)
+    threshold = flags.max_frames - flags.unroll_length * flags.batch_size
+    return stats[flags.to_env]["frames"][-1] >= threshold
+
+
+# -- executors ---------------------------------------------------------------
+
+
+class LocalExecutor:
+    def submit(self, fn, flags):
+        fn(flags)
+        return "local"
+
+
+class SubprocessExecutor:
+    def __init__(self, module_by_runner):
+        self.module_by_runner = module_by_runner
+
+    def submit(self, fn, flags):
+        module = self.module_by_runner[fn]
+        cmd = [sys.executable, module] + _flags_to_cli(flags)
+        proc = subprocess.run(cmd, check=False)
+        return f"subprocess:{proc.returncode}"
+
+
+def _flags_to_cli(flags):
+    defaults = build_parser().parse_args([])
+    out = []
+    for key, value in vars(flags).items():
+        if getattr(defaults, key, None) == value or value is None:
+            continue
+        if isinstance(value, bool):
+            if value and key != "pretrained_embedding":
+                out.append(f"--{key}")
+        else:
+            out += [f"--{key}", str(value)]
+    return out
+
+
+def submitit_executor(partition, folder="./out/", timeout_min=4319,
+                      mem_gb=32, cpus=5):
+    import submitit  # optional dependency
+
+    executor = submitit.SlurmExecutor(folder=folder)
+    executor.update_parameters(
+        partition=partition, time=timeout_min, nodes=1, ntasks_per_node=1,
+        mem=f"{mem_gb}GB", cpus_per_task=cpus)
+
+    class _Wrap:
+        def submit(self, fn, flags):
+            return executor.submit(fn, flags).job_id
+
+    return _Wrap()
+
+
+# -- BC sweep ----------------------------------------------------------------
+
+BC_EMBEDDINGS = [
+    "true_state",
+    "moco_croponly_places_uber_345", "moco_croponly_uber_345",
+    "moco_croponly_places_uber_35", "moco_croponly_uber_35",
+    "moco_croponly_places_uber_34", "moco_croponly_uber_34",
+    "moco_croponly_places_uber_45", "moco_croponly_uber_45",
+    "moco_aug_habitat",
+    "moco_croponly_places_l4", "moco_croponly_places_l3",
+    "moco_croponly_places", "moco_croponly_l3", "moco_croponly_l4",
+    "moco_croponly", "moco_coloronly",
+    "moco_aug_places_l3", "moco_aug_places_l4", "moco_aug_places",
+    "moco_aug_l4", "moco_aug_l3", "moco_aug",
+    "clip_rn50", "clip_vit", "mae_base", "mae_large",
+    "resnet34", "resnet50", "resnet50_places", "resnet50_l4",
+    "resnet50_l3", "resnet50_places_l4", "resnet50_places_l3",
+    "random",
+]
+
+
+def default_bc_grid(scene_prefix="HabitatImageNav"):
+    scenes = [f"{scene_prefix}-{s}" for s in (
+        "apartment_0", "frl_apartment_0", "office_0", "room_0", "hotel_0")]
+    return dict(
+        env=[",".join(scenes)],
+        to_env=scenes,
+        embedding_name=list(BC_EMBEDDINGS),
+        save_path=["latest"],
+        max_frames=[0],
+        run_id=list(range(1, 11)),
+        unroll_length=[100],
+        batch_size=[16],
+        learning_rate=[0.0001],
+        n_episodes_test=[50],
+        eval_frequency=[200],
+    )
+
+
+def run_bc_sweep(grid=None, executor=None, debug=False, dry_run=False):
+    from pvr_habitat_tpu.train.bc import run as bc_run
+
+    def runner_random(flags):
+        return bc_run(flags, mode="embed_at_load")
+
+    def runner_pvr(flags):
+        return bc_run(flags, mode="precomputed")
+
+    executor = executor or LocalExecutor()
+    grid = grid if grid is not None else default_bc_grid()
+    parser = build_parser()
+    submitted = []
+    for run_args in expand_args(grid):
+        flags = parser.parse_args(make_command(run_args))
+        if flags.to_env not in flags.env:   # skip transfer runs
+            continue
+        if is_run_completed(flags):
+            print("skipping completed", flags.xpid)
+            continue
+        flags.essential_save_only = True
+        if flags.embedding_name != "true_state":
+            flags.batch_norm = True
+        runner = (runner_random if flags.embedding_name == "random"
+                  else runner_pvr)
+        if dry_run:
+            submitted.append(flags)
+            continue
+        job = executor.submit(runner, flags)
+        submitted.append(job)
+        if debug:
+            print("debug: one job only")
+            break
+    return submitted
+
+
+# -- embedding sweep (slurm_eo.py) --------------------------------------------
+
+
+def default_embedding_grid(scene_prefix="HabitatImageNav",
+                           embeddings=None):
+    scenes = [f"{scene_prefix}-{s}" for s in (
+        "apartment_0", "frl_apartment_0", "office_0", "room_0", "hotel_0")]
+    return dict(
+        env=scenes,
+        embedding_name=embeddings if embeddings is not None
+        else list(BC_EMBEDDINGS),
+        batch_size=[32],
+    )
+
+
+def run_embedding_sweep(grid=None, executor=None, data_path=None,
+                        source="pickle", dry_run=False):
+    from pvr_habitat_tpu.tools.save_embedded_obs import run as embed_job
+
+    executor = executor or LocalExecutor()
+    grid = grid if grid is not None else default_embedding_grid()
+    parser = build_parser()
+    parser.add_argument("--n_trajectories", type=int, default=-1)
+    parser.add_argument("--source", type=str, default=source)
+    submitted = []
+    for run_args in expand_args(grid):
+        flags = parser.parse_args(make_command(run_args))
+        flags.source = source
+        if data_path:
+            flags.data_path = data_path
+        out = os.path.join(flags.data_path,
+                           f"{flags.env}_{flags.embedding_name}.pickle")
+        if os.path.isfile(out):        # idempotent skip
+            continue
+        if dry_run:
+            submitted.append(flags)
+            continue
+        submitted.append(executor.submit(embed_job, flags))
+    return submitted
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--kind", choices=["bc", "embed", "finetune"],
+                        default="bc")
+    parser.add_argument("--local", action="store_true")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--partition", type=str, default="learnfair")
+    parser.add_argument("--fake", action="store_true",
+                        help="Use the hermetic FakeNav scenes.")
+    args = parser.parse_args()
+
+    prefix = "FakeImageNav" if args.fake else "HabitatImageNav"
+    executor = LocalExecutor() if args.local else None
+    if executor is None:
+        try:
+            executor = submitit_executor(args.partition)
+        except ImportError:
+            print("submitit not installed; running locally")
+            executor = LocalExecutor()
+
+    if args.kind == "bc":
+        run_bc_sweep(default_bc_grid(prefix), executor, debug=args.debug)
+    elif args.kind == "embed":
+        run_embedding_sweep(default_embedding_grid(prefix), executor)
+    else:
+        from pvr_habitat_tpu.train.bc import run as bc_run
+        grid = default_bc_grid(prefix)
+        grid["embedding_name"] = ["random"]
+        for flags in run_bc_sweep(grid, executor, debug=args.debug,
+                                  dry_run=True):
+            executor.submit(lambda f: bc_run(f, mode="finetune"), flags)
+
+
+if __name__ == "__main__":
+    main()

@@ -127,6 +127,32 @@ def test_bc_finetune_runs(workdir, raw_data):
     assert os.path.isfile(stem + ".tar")
 
 
+def test_main_test_cli(workdir, embedded_data):
+    """Standalone eval CLI loads a run checkpoint and evaluates it."""
+    stem = os.path.join(str(workdir), "bc", f"{ENV}_emrandom_s1_{ENV}")
+    if not os.path.isfile(stem + ".tar"):  # produced by the bc test above
+        pytest.skip("bc checkpoint not present")
+    import main_test
+
+    flags = main_test.parser.parse_args([])
+    flags.checkpoint = stem + ".tar"
+    flags.env = ENV
+    flags.from_env = ENV
+    flags.embedding_name = "random"
+    flags.data_path = str(workdir)
+    flags.n_episodes_test = 1
+    flags.max_episode_steps = 30
+    cwd = os.getcwd()
+    os.chdir(str(workdir))
+    try:
+        stats = main_test.run(flags)
+    finally:
+        os.chdir(cwd)
+    assert set(stats) == {"episode_return", "episode_step",
+                          "episode_success"}
+    assert len(stats["episode_return"]) == 1
+
+
 def test_bc_true_state_runs(workdir, embedded_data):
     """true_state reads the resnet50-named pickle's true_state field."""
     src = formats.load_pickle(embedded_data)

@@ -1,0 +1,93 @@
+"""Multi-chip paths on the 8-virtual-device CPU mesh: sharded bulk
+embedding, sharded train step (via the driver dryrun), and sweep
+runner semantics."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pvr_habitat_tpu.data.embed_pipeline import ShardedEmbedder
+from pvr_habitat_tpu.parallel import mesh as pmesh
+
+
+def test_mesh_construction_and_specs():
+    mesh = pmesh.make_mesh((4, 2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    assert pmesh.parse_mesh_shape("4,2") == (4, 2)
+    assert pmesh.parse_mesh_shape("8") == (8, 1)
+    assert pmesh.parse_mesh_shape("") is None
+    spec = pmesh.policy_param_spec("fc.1.weight", (1024, 512))
+    assert spec == jax.sharding.PartitionSpec("model", None)
+
+
+def test_sharded_embedder_matches_single_device():
+    mesh = pmesh.make_mesh((8, 1))
+    embedder = ShardedEmbedder("random", mesh=mesh, batch_size=16,
+                               compute_dtype=jnp.float32, pretrained=False)
+    frames = np.random.RandomState(0).randint(
+        0, 256, size=(21, 64, 64, 3), dtype=np.uint8)  # ragged tail
+    out = embedder.embed_all(frames)
+    assert out.shape == (21, 1568)
+
+    # single-device reference
+    from pvr_habitat_tpu.models.embedding_net import EmbeddingNet
+
+    net = EmbeddingNet("random", pretrained=False)
+    want = net(frames)
+    np.testing.assert_allclose(out, want, atol=1e-4, rtol=1e-4)
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
+
+
+def test_sweep_grid_semantics(tmp_path):
+    from pvr_habitat_tpu.tools import sweep
+
+    grid = dict(
+        env=["FakeImageNav-apartment_0,FakeImageNav-room_0"],
+        to_env=["FakeImageNav-apartment_0", "FakeImageNav-office_0"],
+        embedding_name=["true_state", "resnet50"],
+        run_id=[1, 2],
+        save_path=[str(tmp_path)],
+        batch_size=[4],
+        unroll_length=[10],
+    )
+    jobs = sweep.run_bc_sweep(grid, dry_run=True)
+    # to_env=office is a transfer run -> skipped; 2 embeddings x 2 run_ids
+    assert len(jobs) == 4
+    for flags in jobs:
+        assert flags.essential_save_only
+        assert flags.batch_norm == (flags.embedding_name != "true_state")
+        assert flags.max_frames == sweep.DEFAULT_MAX_FRAMES
+
+    # completed-run skip honors the unroll*batch tolerance
+    import pickle
+
+    flags = jobs[0]
+    stem = os.path.join(
+        str(tmp_path),
+        f"{flags.env}_em{flags.embedding_name}_s{flags.run_id}"
+        f"_{flags.to_env}")
+    stats = {flags.to_env: {"frames": [flags.max_frames - 10]}}
+    with open(stem + ".pickle", "wb") as fh:
+        pickle.dump(stats, fh)
+    jobs2 = sweep.run_bc_sweep(grid, dry_run=True)
+    assert len(jobs2) == 3
+
+
+def test_expand_args_xpid_and_max_frames():
+    from pvr_habitat_tpu.tools import sweep
+
+    grid = dict(env=["HabitatPointNav-apartment_0"], run_id=[1, 2],
+                batch_size=[16])
+    out = sweep.expand_args(grid)
+    assert len(out) == 2
+    assert out[0]["max_frames"] == 2000000  # PointNav budget
+    assert "ri=1" in out[0]["xpid"] or "ri=1" in out[0]["xpid"]
