@@ -129,6 +129,38 @@ def apply(params, x, spec, train=False):
     return y
 
 
+def apply_fused(params, x, spec, interpret=False):
+    """Inference fast path: bottleneck stages run as Pallas fused-block
+    kernels (one HBM read + one write per block instead of per conv).
+    ``params`` must be BN-FOLDED (ops.fold_bn.fold_resnet_bn); basic
+    blocks and compressed grafts fall back to the XLA path."""
+    from pvr_habitat_tpu.ops.pallas.fused_bottleneck import (block_weights,
+                                                             fused_bottleneck)
+
+    assert spec.block == "bottleneck", "fused path is for bottleneck nets"
+    y = cm.conv2d(x, params["conv1.weight"], stride=2, padding=3)
+    y = cm.batch_norm(y, params, "bn1")
+    y = jnp.maximum(y, 0)
+    y = cm.max_pool(y, window=3, stride=2, padding=1)
+
+    for stage_idx in range(4 if spec.cut != "l3" else 3):
+        name = f"layer{stage_idx + 1}"
+        grafted = (spec.cut == "l3" and stage_idx == 2) or \
+                  (spec.cut == "l4" and stage_idx == 3)
+        base = f"{name}.0" if grafted else name
+        for i in range(spec.layers[stage_idx]):
+            stride = 2 if (i == 0 and stage_idx > 0) else 1
+            w1, b1, w2, b2, w3, b3, wd, bd = block_weights(
+                params, f"{base}.{i}", dtype=x.dtype)
+            y = fused_bottleneck(y, w1, b1, w2, b2, w3, b3, wd, bd,
+                                 stride=stride, interpret=interpret)
+        if grafted:
+            y = _basic_block(y, params, f"{name}.1", 1, True, False)
+    if spec.cut in ("l3", "l4"):
+        return jnp.transpose(y, (0, 3, 1, 2)).reshape(y.shape[0], -1)
+    return jnp.mean(y, axis=(1, 2))
+
+
 # -----------------------------------------------------------------------------
 # Initialization (torchvision distributions) — used when no checkpoint.
 # -----------------------------------------------------------------------------
