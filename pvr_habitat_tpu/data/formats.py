@@ -97,15 +97,18 @@ def save_jpeg_trajectory(dir_path, traj_idx, obs_list, true_state,
 
 
 def read_png_trajectories(dir_path, embed_fn=None, n_trajectories=-1,
-                          max_steps=500):
+                          max_steps=500, hw=(64, 64)):
     """PNG-dir reader (reference: save_embedded_obs.py:50-93): per-frame
-    obs (optionally embedded on the fly) with the goal frame appended."""
-    import cv2
+    obs (optionally embedded) with the goal frame appended.  Frames are
+    decoded in batch by the native multithreaded codec (cv2 fallback),
+    keeping cv2.imread's BGR channel convention for file round-trip
+    parity with the reference."""
+    from pvr_habitat_tpu.data import native
 
     data = dict(obs=[], action=[], reward=[], done=[], true_state=[])
     if n_trajectories == -1:
         n_trajectories = 100000
-    t = 0
+    h, w = hw
     for t in range(n_trajectories):
         meta_path = os.path.join(dir_path, f"{t}.pickle")
         if not os.path.isfile(meta_path):
@@ -113,19 +116,26 @@ def read_png_trajectories(dir_path, embed_fn=None, n_trajectories=-1,
         meta = load_pickle(meta_path)
         for key in ("action", "reward", "done", "true_state"):
             data[key].append(meta[key])
-        goal = cv2.imread(os.path.join(dir_path, f"{t}_goal.png"))
-        if goal is not None and embed_fn is not None:
-            goal = np.asarray(embed_fn(goal[None])).reshape(-1)
-        for s in range(max_steps):
-            frame_path = os.path.join(dir_path, f"{t}_{s}.png")
-            obs = cv2.imread(frame_path)
-            if obs is None:
-                break
+
+        n_frames = native.count_frames(dir_path, t, "png", max_steps)
+        paths = [os.path.join(dir_path, f"{t}_{s}.png")
+                 for s in range(n_frames)]
+        frames = native.decode_batch(paths, h, w, kind="png", bgr=True)
+
+        goal_path = os.path.join(dir_path, f"{t}_goal.png")
+        goal = None
+        if os.path.isfile(goal_path):
+            goal = native.decode_batch([goal_path], h, w, "png", True)[0]
             if embed_fn is not None:
-                obs = np.asarray(embed_fn(obs[None])).reshape(-1)
-            if goal is not None:
-                obs = np.concatenate((obs, goal), axis=-1)
-            data["obs"].append(obs)
+                goal = np.asarray(embed_fn(goal[None])).reshape(-1)
+        if embed_fn is not None:
+            obs = np.asarray(embed_fn(frames)).reshape(n_frames, -1)
+        else:
+            obs = frames
+        if goal is not None:
+            goal_rep = np.broadcast_to(goal, (n_frames,) + goal.shape)
+            obs = np.concatenate((obs, goal_rep), axis=-1)
+        data["obs"].extend(obs)
     out = dict(obs=np.stack(data["obs"]))
     for key in ("action", "reward", "done", "true_state"):
         out[key] = np.concatenate(data[key])
