@@ -28,7 +28,7 @@ from pvr_habitat_tpu.data import formats, sampler
 from pvr_habitat_tpu.envs.environment import make_environment
 from pvr_habitat_tpu.models.embedding_net import EmbeddingNet
 from pvr_habitat_tpu.train import bc_step
-from pvr_habitat_tpu.train.evaluate import PolicyRunner, test
+from pvr_habitat_tpu.train.evaluate import PolicyRunner, batched_test, test
 from pvr_habitat_tpu.utils import checkpoint as ckpt
 from pvr_habitat_tpu.utils import stats as stats_util
 
@@ -99,6 +99,12 @@ def _load_finetune(flags, from_env):
     return {k: np.concatenate(v) for k, v in parts.items()}
 
 
+def _evaluate(runner, eval_envs, stat_keys, n_episodes):
+    if len(eval_envs) > 1:
+        return batched_test(runner, eval_envs, stat_keys, n_episodes)
+    return test(runner, eval_envs[0], stat_keys, n_episodes)
+
+
 def run(flags, mode="precomputed"):
     flags = copy.copy(flags)
     # Fix seeds (reference: main_bc_2.py:28-31).
@@ -141,6 +147,9 @@ def run(flags, mode="precomputed"):
     env = make_environment(env_flags, embedding_model)
     obs_shape = env.gym_env.observation_space.shape
     num_actions = env.gym_env.action_space.n
+    eval_envs = [env] + [
+        make_environment(env_flags, embedding_model, actor_id=2 + i)
+        for i in range(max(flags.eval_batch, 1) - 1)]
 
     max_epochs = flags.max_frames // (flags.unroll_length
                                       * flags.batch_size) + 1
@@ -207,7 +216,8 @@ def run(flags, mode="precomputed"):
     else:
         print("=== Initial evaluation ===")
         stats = stats_util.new_stats(to_env, stat_keys)
-        stats_ep = test(make_runner(), env, stat_keys, flags.n_episodes_test)
+        stats_ep = _evaluate(make_runner(), eval_envs, stat_keys,
+                             flags.n_episodes_test)
         stats_util.append_eval(stats, to_env, stats_ep, stat_keys)
         for k in stat_keys:
             print("  ", k, np.mean(stats_ep[k]))
@@ -235,8 +245,8 @@ def run(flags, mode="precomputed"):
             if (flags.essential_save_only and stats_util.is_essential_save(
                     epoch, max_epochs, flags.eval_frequency)) or \
                     not flags.essential_save_only:
-                stats_ep = test(make_runner(), env, stat_keys,
-                                flags.n_episodes_test)
+                stats_ep = _evaluate(make_runner(), eval_envs,
+                                     stat_keys, flags.n_episodes_test)
                 stats_util.append_eval(stats, to_env, stats_ep, stat_keys)
                 for k in stat_keys:
                     print("  ", k, np.mean(stats_ep[k]))
@@ -263,5 +273,6 @@ def run(flags, mode="precomputed"):
                     embedding_state=embedding_model.state_dict()
                     if embedding_model is not None else None)
 
-    env.close()
+    for e in eval_envs:
+        e.close()
     return stats

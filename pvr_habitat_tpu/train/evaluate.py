@@ -42,6 +42,41 @@ class PolicyRunner:
         return dict(action=np.asarray(action)), new_state
 
 
+def batched_test(model, envs, stat_keys, n_episodes=100):
+    """Vectorized evaluation: step K env instances in lockstep with one
+    jitted (1, K, ...) policy step per simulator tick.
+
+    TPU rationale: the reference evaluates 50 episodes sequentially at
+    batch 1 (test_model.py) — each step pays a full host->device
+    round-trip for one frame.  Batching K envs amortizes that latency
+    K-fold; the per-env LSTM states ride the batch axis, and an env
+    that finishes keeps rolling (auto-reset) while its stats are only
+    counted until `n_episodes` total episodes complete.  Statistically
+    equivalent protocol (fresh randomized episodes, argmax policy);
+    episode ordering differs from the sequential reference.
+    """
+    k = len(envs)
+    outs = [env.initial() for env in envs]
+    agent_state = model.initial_state(batch_size=k)
+    stats = {key: [] for key in stat_keys}
+    finished = 0
+    while finished < n_episodes:
+        obs = np.concatenate([o["obs"] for o in outs], axis=1)
+        done = np.concatenate([o["done"] for o in outs], axis=1)
+        agent_output, agent_state = model(dict(obs=obs, done=done),
+                                          agent_state)
+        actions = np.asarray(agent_output["action"]).reshape(-1)
+        for i, env in enumerate(envs):
+            if finished >= n_episodes:
+                break
+            outs[i] = env.step(actions[i])
+            if outs[i]["done"]:
+                for key in stat_keys:
+                    stats[key].append(float(np.asarray(outs[i][key])[0][0]))
+                finished += 1
+    return stats
+
+
 def test(model, env, stat_keys, n_episodes=100):
     """Greedy rollouts; returns {stat: [per-episode values]}
     (reference: src/test_model.py)."""

@@ -83,6 +83,10 @@ def build_parser():
     parser.add_argument("--embed_batch_size", type=int, default=0,
                         help="Per-step batch for bulk embedding; "
                              "0 = use --batch_size (reference semantics).")
+    parser.add_argument("--eval_batch", type=int, default=1,
+                        help="Evaluate K env instances in lockstep with one "
+                             "batched policy step (1 = reference's "
+                             "sequential protocol).")
     parser.add_argument("--max_episode_steps", type=int, default=0,
                         help="Override the simulator episode step limit "
                              "(0 = simulator default, 500 for nav tasks).")
