@@ -231,8 +231,15 @@ def run(flags, mode="precomputed"):
         max_grad_norm=flags.max_grad_norm)
 
     print("=== Training policy ===")
+    from pvr_habitat_tpu.utils import profiling
+
     frames_per_epoch = flags.batch_size * flags.unroll_length
     metrics = None
+    timer = profiling.StepTimer(items_per_step=frames_per_epoch,
+                                report_every=max(flags.eval_frequency, 1),
+                                label="train")
+    profile_ctx = profiling.trace(getattr(flags, "profile_dir", ""))
+    profile_ctx.__enter__()
     for frames in range(init_frames, flags.max_frames, frames_per_epoch):
         epoch = frames // frames_per_epoch
         starts = sampler.sample_with_minimum_distance(
@@ -240,6 +247,7 @@ def run(flags, mode="precomputed"):
         batch = sampler.gather_unrolls(train_data, starts,
                                        flags.unroll_length)
         state, metrics = step_fn(state, batch)
+        timer.tick()
 
         if (epoch + 1) % flags.eval_frequency == 0:
             if (flags.essential_save_only and stats_util.is_essential_save(
@@ -273,6 +281,7 @@ def run(flags, mode="precomputed"):
                     embedding_state=embedding_model.state_dict()
                     if embedding_model is not None else None)
 
+    profile_ctx.__exit__(None, None, None)
     for e in eval_envs:
         e.close()
     return stats

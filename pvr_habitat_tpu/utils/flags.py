@@ -83,6 +83,9 @@ def build_parser():
     parser.add_argument("--embed_batch_size", type=int, default=0,
                         help="Per-step batch for bulk embedding; "
                              "0 = use --batch_size (reference semantics).")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="Dump a jax.profiler trace of the training "
+                             "loop to this directory (TensorBoard/Perfetto).")
     parser.add_argument("--eval_batch", type=int, default=1,
                         help="Evaluate K env instances in lockstep with one "
                              "batched policy step (1 = reference's "
