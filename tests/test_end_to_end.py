@@ -127,6 +127,37 @@ def test_bc_finetune_runs(workdir, raw_data):
     assert os.path.isfile(stem + ".tar")
 
 
+def test_main_bc_2_cli_subprocess(workdir, embedded_data):
+    """The drop-in CLI accepts the reference flag set end-to-end."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"  # overridden below
+    env.pop("JAX_PLATFORMS", None)
+    env["PVR_TEST_FORCE_CPU"] = "1"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import main_bc_2, sys;"
+        "sys.argv=['main_bc_2.py'] + sys.argv[1:];"
+        "from pvr_habitat_tpu.utils.flags import parser;"
+        "main_bc_2.run(parser.parse_args(sys.argv[1:]))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code,
+         "--env", ENV, "--to_env", ENV, "--embedding_name", "random",
+         "--data_path", str(workdir),
+         "--save_path", os.path.join(str(workdir), "bc_cli"),
+         "--batch_size", "4", "--unroll_length", "10",
+         "--max_frames", "80", "--eval_frequency", "2",
+         "--n_episodes_test", "1", "--max_episode_steps", "20", "--debug"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    stem = os.path.join(str(workdir), "bc_cli", f"{ENV}_emrandom_s1_{ENV}")
+    assert os.path.isfile(stem + ".pickle")
+
+
 def test_main_test_cli(workdir, embedded_data):
     """Standalone eval CLI loads a run checkpoint and evaluates it."""
     stem = os.path.join(str(workdir), "bc", f"{ENV}_emrandom_s1_{ENV}")
