@@ -80,14 +80,32 @@ class EmbeddingNet:
 
         frames = np.asarray(observation)
         n = frames.shape[0]
-        bucket = min(_bucket(n), max(self.max_bucket, 1))
-        if bucket > n:
-            pad = np.zeros((bucket - n,) + frames.shape[1:], frames.dtype)
-            frames = np.concatenate([frames, pad], axis=0)
-        out = self._jitted(self.params, jnp.asarray(frames))[:n]
+        if n > self.max_bucket:
+            # chunk large batches at the fixed bucket size (one compile)
+            chunks = [
+                np.asarray(self._jitted(
+                    self.params,
+                    jnp.asarray(self._pad(frames[i:i + self.max_bucket],
+                                          self.max_bucket))
+                ))[:min(self.max_bucket, n - i)]
+                for i in range(0, n, self.max_bucket)
+            ]
+            out = jnp.asarray(np.concatenate(chunks))
+        else:
+            bucket = min(_bucket(n), max(self.max_bucket, 1))
+            out = self._jitted(
+                self.params, jnp.asarray(self._pad(frames, bucket)))[:n]
         if self.training:
             return out.squeeze()
         return np.asarray(out).squeeze()
+
+    @staticmethod
+    def _pad(frames, bucket):
+        if bucket > frames.shape[0]:
+            pad = np.zeros((bucket - frames.shape[0],) + frames.shape[1:],
+                           frames.dtype)
+            frames = np.concatenate([frames, pad], axis=0)
+        return frames
 
     # -- persistence (keeps the '{embedding}.tar' contract) ------------------
 

@@ -97,8 +97,11 @@ def _flags_to_cli(flags):
     for key, value in vars(flags).items():
         if getattr(defaults, key, None) == value or value is None:
             continue
-        if isinstance(value, bool):
-            if value and key != "pretrained_embedding":
+        if key == "pretrained_embedding":
+            if not value:
+                out.append("--disable_pretrained_embedding")
+        elif isinstance(value, bool):
+            if value:
                 out.append(f"--{key}")
         else:
             out += [f"--{key}", str(value)]
