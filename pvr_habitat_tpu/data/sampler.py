@@ -49,6 +49,15 @@ def gather_unrolls(data, starts, unroll_length):
     return {k: _gather(v, starts, unroll_length) for k, v in data.items()}
 
 
+def gather_unrolls_host(data, starts, unroll_length):
+    """Host-side numpy gather (used when the dataset stays in host RAM,
+    e.g. multi-chip runs where the batch is then put sharded)."""
+    n = len(next(iter(data.values())))
+    idx = (np.asarray(starts, np.int64)[None, :]
+           + np.arange(unroll_length)[:, None]) % n
+    return {k: v[idx] for k, v in data.items()}
+
+
 def dataset_nbytes(data):
     return sum(np.asarray(v).nbytes if not hasattr(v, "nbytes") else v.nbytes
                for v in data.values())

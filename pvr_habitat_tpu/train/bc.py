@@ -99,6 +99,41 @@ def _load_finetune(flags, from_env):
     return {k: np.concatenate(v) for k, v in parts.items()}
 
 
+def _make_mesh(flags):
+    """('data','model') mesh for multi-chip runs.  Explicit opt-in via
+    --mesh_shape (e.g. '4,2'); the batch axis must divide the data
+    axis."""
+    from pvr_habitat_tpu.parallel import mesh as pmesh
+
+    shape = pmesh.parse_mesh_shape(flags.mesh_shape)
+    if shape is None:
+        return None
+    mesh = pmesh.make_mesh(shape)
+    assert flags.batch_size % mesh.shape["data"] == 0, \
+        (flags.batch_size, dict(mesh.shape))
+    return mesh
+
+
+def _shard_state(mesh, state):
+    """DP+TP placement of a fresh/restored TrainState on the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pvr_habitat_tpu.parallel import mesh as pmesh
+
+    params = pmesh.shard_params(mesh, state.params, pmesh.policy_param_spec)
+    stats = pmesh.replicate(mesh, state.batch_stats)
+    opt = state.opt_state
+    opt = type(opt)(
+        count=jax.device_put(opt.count, NamedSharding(mesh, P())),
+        square_avg=pmesh.shard_params(mesh, opt.square_avg,
+                                      pmesh.policy_param_spec),
+        momentum_buf=opt.momentum_buf if opt.momentum_buf == () else
+        pmesh.shard_params(mesh, opt.momentum_buf, pmesh.policy_param_spec),
+    )
+    rng = jax.device_put(state.rng, NamedSharding(mesh, P()))
+    return bc_step.TrainState(params, stats, opt, rng)
+
+
 def _evaluate(runner, eval_envs, stat_keys, n_episodes):
     if len(eval_envs) > 1:
         return batched_test(runner, eval_envs, stat_keys, n_episodes)
@@ -151,6 +186,7 @@ def run(flags, mode="precomputed"):
         make_environment(env_flags, embedding_model, actor_id=2 + i)
         for i in range(max(flags.eval_batch, 1) - 1)]
 
+    mesh = _make_mesh(flags)
     max_epochs = flags.max_frames // (flags.unroll_length
                                       * flags.batch_size) + 1
     state, opt = bc_step.create_train_state(
@@ -168,6 +204,9 @@ def run(flags, mode="precomputed"):
         state = bc_step.TrainState(params, batch_stats,
                                    ckpt.restore_opt_state(payload),
                                    state.rng)
+    if mesh is not None:
+        state = _shard_state(mesh, state)
+        print(f"   device mesh: {dict(mesh.shape)}")
 
     print("=== BC run ===")
     print("   embedding:", embedding_label or flags.embedding_name)
@@ -197,8 +236,9 @@ def run(flags, mode="precomputed"):
         action=np.asarray(data["action"], np.int32),
         done=np.asarray(data["done"], bool),
     )
-    train_data, on_device = sampler.maybe_device_put(
-        train_data, mode=flags.data_on_device)
+    if mesh is None:
+        train_data, _ = sampler.maybe_device_put(
+            train_data, mode=flags.data_on_device)
 
     stat_keys = list(stats_util.STAT_KEYS)
 
@@ -244,8 +284,14 @@ def run(flags, mode="precomputed"):
         epoch = frames // frames_per_epoch
         starts = sampler.sample_with_minimum_distance(
             n=n_samples, k=flags.batch_size, d=flags.unroll_length)
-        batch = sampler.gather_unrolls(train_data, starts,
-                                       flags.unroll_length)
+        if mesh is None:
+            batch = sampler.gather_unrolls(train_data, starts,
+                                           flags.unroll_length)
+        else:
+            from pvr_habitat_tpu.parallel import mesh as pmesh
+
+            batch = pmesh.shard_batch(mesh, sampler.gather_unrolls_host(
+                train_data, starts, flags.unroll_length))
         state, metrics = step_fn(state, batch)
         timer.tick()
 
