@@ -99,6 +99,22 @@ class EmbeddingNet:
             return out.squeeze()
         return np.asarray(out).squeeze()
 
+    def embed_batches(self, frames, batch_size):
+        """Bulk path: dispatch every fixed-size device batch without
+        fetching between them (host staging overlaps device compute;
+        the single fetch at the end drains the queue), then return the
+        concatenated (N, out_size) numpy array."""
+        if self.embedding_name == "true_state":
+            return np.squeeze(np.asarray(frames))
+        n = frames.shape[0]
+        outs = []
+        for i in range(0, n, batch_size):
+            chunk = self._pad(np.asarray(frames[i:i + batch_size]),
+                              batch_size)
+            outs.append(self._jitted(self.params, jnp.asarray(chunk)))
+        return np.concatenate(
+            [np.asarray(o) for o in outs], axis=0)[:n]
+
     @staticmethod
     def _pad(frames, bucket):
         if bucket > frames.shape[0]:

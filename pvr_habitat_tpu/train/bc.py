@@ -35,19 +35,22 @@ from pvr_habitat_tpu.utils import stats as stats_util
 
 def _embed_in_minibatches(embedding_model, obs, batch_size, limit=None):
     """Minibatched bulk embedding with the stacked-frame split/merge dance
-    (reference: main_bc_1.py:127-138, save_embedded_obs.py:147-157)."""
+    (reference: main_bc_1.py:127-138, save_embedded_obs.py:147-157).
+    Device batches are dispatched asynchronously (one fetch at the end),
+    so host-side staging overlaps TPU compute."""
     n = obs.shape[0] if limit is None else min(limit, obs.shape[0])
+    obs = obs[:n]
+    if obs.shape[-1] == 1:  # grayscale (Atari): repeat to RGB
+        obs = np.repeat(obs, 3, -1)
     n_frames = max(obs.shape[3] // 3, 1)
-    chunks = []
-    for i in range(0, n, batch_size):
-        o = obs[i:i + batch_size]
-        if o.shape[-1] == 1:  # grayscale (Atari): repeat to RGB
-            o = np.repeat(o, 3, -1)
-        o = np.concatenate(np.split(o, n_frames, axis=3), axis=0)
-        o = embedding_model(o)
-        o = np.concatenate(np.split(np.asarray(o), n_frames, axis=0), axis=-1)
-        chunks.append(o)
-    return np.concatenate(chunks)[:n]
+    # (N, H, W, nf*3) -> (N*nf, H, W, 3): all frames through the encoder
+    flat = np.concatenate(np.split(obs, n_frames, axis=3), axis=0) \
+        if n_frames > 1 else obs
+    embedded = embedding_model.embed_batches(flat, batch_size)
+    if n_frames > 1:
+        embedded = np.concatenate(np.split(embedded, n_frames, axis=0),
+                                  axis=-1)
+    return embedded[:n]
 
 
 def _load_precomputed(flags, from_env):
