@@ -10,6 +10,8 @@ Prints ONE JSON line:
 
 import argparse
 import json
+import signal
+import sys
 import time
 
 import numpy as np
@@ -17,6 +19,21 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_FPS = 10000.0
+WATCHDOG_SECONDS = 420
+
+
+def _watchdog(signum, frame):
+    # The axon tunnel can wedge (fetches hang forever). Emit a sentinel
+    # line rather than hanging the driver.
+    print(json.dumps({
+        "metric": "resnet50_embed_fps_per_chip",
+        "value": 0.0,
+        "unit": "frames/sec",
+        "vs_baseline": 0.0,
+        "note": "watchdog: TPU runtime did not respond",
+    }))
+    sys.stdout.flush()
+    sys.exit(2)
 
 
 def build_forward(batch_size, dtype=jnp.bfloat16):
@@ -46,6 +63,9 @@ def main():
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
     args = parser.parse_args()
+
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(WATCHDOG_SECONDS)
 
     forward, params, frames = build_forward(args.batch_size)
 
