@@ -37,6 +37,12 @@ def make_gym_env(flags, embedding_model=None, seed=0):
             from pvr_habitat_tpu.envs.habitat_adapter import make_habitat_sim
             sim = make_habitat_sim(scene, seed=seed)
         else:
+            if "Habitat" in env_name:
+                import warnings
+
+                warnings.warn(
+                    f"habitat-sim not installed; '{env_name}' runs on the "
+                    "hermetic FakeNav simulator")
             max_steps = getattr(flags, "max_episode_steps", 0)
             sim = FakeNavSim(scene, seed=seed,
                              **({"max_episode_steps": max_steps}

@@ -161,6 +161,38 @@ def apply_fused(params, x, spec, interpret=False):
     return jnp.mean(y, axis=(1, 2))
 
 
+def apply_fused_v2(params, x, spec, interpret=False):
+    """Padded-flat fused path: stride-1 bottlenecks run as dim-0-slice
+    Pallas kernels (no per-tap relayout); stride-2 stage heads stay on
+    XLA.  ``params`` must be BN-folded."""
+    from pvr_habitat_tpu.ops.pallas import fused_bottleneck as fb
+
+    assert spec.block == "bottleneck" and spec.cut is None, \
+        "v2 fused path covers the full bottleneck nets"
+    y = cm.conv2d(x, params["conv1.weight"], stride=2, padding=3)
+    y = jnp.maximum(cm.batch_norm(y, params, "bn1"), 0)
+    y = cm.max_pool(y, window=3, stride=2, padding=1)
+
+    for stage_idx in range(4):
+        name = f"layer{stage_idx + 1}"
+        h = y.shape[1] // (2 if stage_idx > 0 else 1)
+        first = 0
+        if stage_idx > 0:
+            # stride-2 stage head on XLA
+            y = _bottleneck_block(y, params, f"{name}.0", 2, True, False)
+            first = 1
+        mask = jnp.asarray(fb.flat_mask(h, h))
+        yf = fb.to_padded_flat(y)
+        for i in range(first, spec.layers[stage_idx]):
+            w1, b1, w2, b2, w3, b3, wd, bd = fb.block_weights(
+                params, f"{name}.{i}", dtype=x.dtype)
+            yf = fb.fused_bottleneck_flat(
+                yf, mask, w1, b1, w2, b2, w3, b3, wd, bd,
+                h=h, w=h, interpret=interpret)
+        y = fb.from_padded_flat(yf, h, h)
+    return jnp.mean(y, axis=(1, 2))
+
+
 # -----------------------------------------------------------------------------
 # Initialization (torchvision distributions) — used when no checkpoint.
 # -----------------------------------------------------------------------------

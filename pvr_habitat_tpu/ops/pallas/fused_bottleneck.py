@@ -17,6 +17,7 @@ values (no strided memory ops).
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -130,6 +131,133 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, wd=None, bd=None, stride=1,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, w1, b1, w2, b2, w3, b3, wd, bd)
+
+
+# -----------------------------------------------------------------------------
+# v2: padded-flat layout (stride-1 blocks)
+# -----------------------------------------------------------------------------
+#
+# v1 slices the 3x3 taps out of a 3-D (H+2, W+2, P) buffer, which forces
+# sublane relayouts per tap.  v2 keeps activations in a "padded-flat"
+# layout (N, (H+2)*(W+2), C) with zeroed border positions, so every tap
+# is a plain dim-0 slice y1[dh*PW+dw : dh*PW+dw+H*PW] and the whole
+# block is matmuls + row slices.  Garbage columns (the horizontal pads
+# inside the slab) are re-zeroed by a precomputed mask, which also
+# restores the output's border invariant for the next fused block.
+
+
+def _flat_kernel(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                 b3_ref, wd_ref, bd_ref, out_ref, *, h, pw,
+                 has_downsample, out_dtype):
+    cin = x_ref.shape[-1]
+    p = w1_ref.shape[-1]
+    cout = out_ref.shape[-1]
+    slab = h * pw
+    off = pw + 1
+
+    x = x_ref[0]                                    # (PHW, Cin)
+    mask = mask_ref[:]                              # (PHW, 1) f32
+
+    y1 = jnp.maximum(_matmul(x, w1_ref[:]) + b1_ref[:], 0.0)
+    y1 = (y1 * mask).astype(x.dtype)                # zero pad rows
+    # the (2,2) tap's slice overruns PHW by 2; one extra zero row covers it
+    y1 = jnp.pad(y1, ((0, pw), (0, 0)))
+
+    acc = jnp.zeros((slab, p), jnp.float32)
+    for dh in range(3):
+        for dw in range(3):
+            start = dh * pw + dw
+            acc += _matmul(
+                jax.lax.slice_in_dim(y1, start, start + slab, axis=0),
+                w2_ref[dh * 3 + dw])
+    y2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(x.dtype)
+
+    out_mask = jax.lax.slice_in_dim(mask, off, off + slab, axis=0)
+    xs = jax.lax.slice_in_dim(x, off, off + slab, axis=0)
+    chunk = min(cout, 128)
+    for c0 in range(0, cout, chunk):
+        y3 = _matmul(y2, w3_ref[:, c0:c0 + chunk]) + b3_ref[c0:c0 + chunk]
+        if has_downsample:
+            y3 += _matmul(xs, wd_ref[:, c0:c0 + chunk]) \
+                + bd_ref[c0:c0 + chunk]
+        else:
+            y3 += xs[:, c0:c0 + chunk].astype(jnp.float32)
+        out_ref[0, off:off + slab, c0:c0 + chunk] = (
+            jnp.maximum(y3, 0.0) * out_mask).astype(out_dtype)
+    # border rows of the padded-flat output must be zero
+    out_ref[0, :off, :] = jnp.zeros((off, cout), out_dtype)
+    out_ref[0, off + slab:, :] = jnp.zeros(
+        (out_ref.shape[1] - off - slab, cout), out_dtype)
+
+
+def flat_mask(h, w):
+    """(PHW, 1) f32 mask: 1 at interior positions, 0 at pads."""
+    m = np.zeros((h + 2, w + 2), np.float32)
+    m[1:-1, 1:-1] = 1.0
+    return m.reshape(-1, 1)
+
+
+def to_padded_flat(x):
+    """(N, H, W, C) -> (N, (H+2)(W+2), C) with zero borders."""
+    n, h, w, c = x.shape
+    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).reshape(
+        n, (h + 2) * (w + 2), c)
+
+
+def from_padded_flat(x, h, w):
+    n, phw, c = x.shape
+    return x.reshape(n, h + 2, w + 2, c)[:, 1:-1, 1:-1, :]
+
+
+def fused_bottleneck_flat(x_flat, mask, w1, b1, w2, b2, w3, b3, wd=None,
+                          bd=None, *, h, w, interpret=False):
+    """Stride-1 fused bottleneck over padded-flat activations.
+
+    x_flat: (N, (H+2)(W+2), Cin) with zeroed borders; returns the same
+    layout with Cout channels."""
+    n, phw, cin = x_flat.shape
+    pw = w + 2
+    p = w1.shape[-1]
+    cout = w3.shape[-1]
+    has_downsample = wd is not None
+    if wd is None:
+        wd = jnp.zeros((1, cout), x_flat.dtype)
+        bd = jnp.zeros((cout,), jnp.float32)
+
+    kernel = functools.partial(_flat_kernel, h=h, pw=pw,
+                               has_downsample=has_downsample,
+                               out_dtype=x_flat.dtype)
+    flops = 2 * n * (phw * cin * p + 9 * h * pw * p * p
+                     + h * pw * p * cout
+                     + (h * pw * cin * cout if has_downsample else 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, phw, cin), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w3
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b3
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wd
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bd
+        ],
+        out_specs=pl.BlockSpec((1, phw, cout), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, phw, cout), x_flat.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x_flat.size * x_flat.dtype.itemsize
+            + n * phw * cout * x_flat.dtype.itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_flat, mask, w1, b1, w2, b2, w3, b3, wd, bd)
 
 
 # -----------------------------------------------------------------------------
