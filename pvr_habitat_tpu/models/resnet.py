@@ -193,6 +193,47 @@ def apply_fused_v2(params, x, spec, interpret=False):
     return jnp.mean(y, axis=(1, 2))
 
 
+def apply_fused_hybrid(params, x, spec, interpret=False):
+    """Per-stage best-of kernel selection, from on-device A/B at
+    batch 256 bf16 (times net of the ~1.2ms dispatch floor):
+
+      layer1 identity blocks:  v1 fused (2.2ms) < XLA (2.9) < v2 (5.2)
+      layer2:                  XLA (1.2) wins over both kernels
+      layer3 identity blocks:  v2 fused (0.9) << XLA (2.0)
+      layer4 identity blocks:  v2 fused (measured similar regime to l3)
+      stage heads (stride 2):  XLA
+
+    ``params`` must be BN-folded."""
+    from pvr_habitat_tpu.ops.pallas import fused_bottleneck as fb
+
+    assert spec.block == "bottleneck" and spec.cut is None
+    y = cm.conv2d(x, params["conv1.weight"], stride=2, padding=3)
+    y = jnp.maximum(cm.batch_norm(y, params, "bn1"), 0)
+    y = cm.max_pool(y, window=3, stride=2, padding=1)
+
+    # layer1: v1 fused for all three blocks (stride 1 throughout)
+    for i in range(spec.layers[0]):
+        w = fb.block_weights(params, f"layer1.{i}", dtype=x.dtype)
+        y = fb.fused_bottleneck(y, *w, stride=1, interpret=interpret)
+
+    # layer2: XLA
+    y = _stage(y, params, "layer2", spec, 1, False)
+
+    # layer3/layer4: XLA stride-2 head + v2 fused identity blocks
+    for stage_idx in (2, 3):
+        name = f"layer{stage_idx + 1}"
+        y = _bottleneck_block(y, params, f"{name}.0", 2, True, False)
+        h = y.shape[1]
+        mask = jnp.asarray(fb.flat_mask(h, h))
+        yf = fb.to_padded_flat(y)
+        for i in range(1, spec.layers[stage_idx]):
+            w = fb.block_weights(params, f"{name}.{i}", dtype=x.dtype)
+            yf = fb.fused_bottleneck_flat(yf, mask, *w, h=h, w=h,
+                                          interpret=interpret)
+        y = fb.from_padded_flat(yf, h, h)
+    return jnp.mean(y, axis=(1, 2))
+
+
 # -----------------------------------------------------------------------------
 # Initialization (torchvision distributions) — used when no checkpoint.
 # -----------------------------------------------------------------------------

@@ -91,6 +91,18 @@ def test_fused_v2_resnet50_matches_apply():
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
 
 
+def test_fused_hybrid_resnet50_matches_apply():
+    spec = resnet.ResNetSpec(50)
+    params = fold_resnet_bn(
+        resnet.init_params(spec, np.random.RandomState(7)))
+    x = jnp.asarray(np.random.RandomState(8)
+                    .randn(1, 64, 64, 3).astype(np.float32))
+    want = np.asarray(resnet.apply(params, x, spec))
+    got = np.asarray(resnet.apply_fused_hybrid(params, x, spec,
+                                               interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
 def test_fused_resnet50_matches_apply():
     spec = resnet.ResNetSpec(50)
     params = fold_resnet_bn(
