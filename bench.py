@@ -36,7 +36,8 @@ def _watchdog(signum, frame):
     sys.exit(2)
 
 
-def build_forward(batch_size, dtype=jnp.bfloat16):
+def build_forward(batch_size, dtype=jnp.bfloat16, fused="off"):
+    from pvr_habitat_tpu.models import resnet
     from pvr_habitat_tpu.models.registry import build_encoder
     from pvr_habitat_tpu.ops.fold_bn import fold_resnet_bn
 
@@ -45,12 +46,20 @@ def build_forward(batch_size, dtype=jnp.bfloat16):
     params = jax.device_put(
         jax.tree.map(lambda x: x.astype(dtype), params))
     preprocess = handle.preprocess
+    spec = resnet.ResNetSpec(50)
+    body = {
+        "off": handle.apply_fn,
+        "v1": lambda p, x, train=False: resnet.apply_fused(p, x, spec),
+        "v2": lambda p, x, train=False: resnet.apply_fused_v2(p, x, spec),
+        "hybrid": lambda p, x, train=False: resnet.apply_fused_hybrid(
+            p, x, spec),
+    }[fused]
 
     @jax.jit
     def forward(params, frames):
         x = preprocess(frames, precision=jax.lax.Precision.DEFAULT,
                        out_dtype=dtype)
-        return handle.apply_fn(params, x, train=False)
+        return body(params, x, train=False)
 
     frames = jnp.asarray(np.random.RandomState(0).randint(
         0, 256, size=(batch_size, 64, 64, 3), dtype=np.uint8))
@@ -62,12 +71,17 @@ def main():
     parser.add_argument("--batch_size", type=int, default=256)
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--fused", choices=["off", "v1", "v2", "hybrid"],
+                        default="off",
+                        help="Pallas fused-bottleneck variants (off = "
+                             "pure XLA, the default driver-safe path).")
     args = parser.parse_args()
 
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(WATCHDOG_SECONDS)
 
-    forward, params, frames = build_forward(args.batch_size)
+    forward, params, frames = build_forward(args.batch_size,
+                                            fused=args.fused)
 
     def sync(x):
         # Device execution is serialized per chip, so fetching a scalar
