@@ -239,8 +239,9 @@ def run(flags, mode="precomputed"):
         action=np.asarray(data["action"], np.int32),
         done=np.asarray(data["done"], bool),
     )
+    on_device = False
     if mesh is None:
-        train_data, _ = sampler.maybe_device_put(
+        train_data, on_device = sampler.maybe_device_put(
             train_data, mode=flags.data_on_device)
 
     stat_keys = list(stats_util.STAT_KEYS)
@@ -269,9 +270,18 @@ def run(flags, mode="precomputed"):
         stats[to_env]["gradient_norm"].append(np.nan)
         init_frames = 0
 
-    step_fn = bc_step.make_train_step(
-        opt, batch_norm=flags.batch_norm, conv_policy=conv_policy,
-        max_grad_norm=flags.max_grad_norm)
+    # One device dispatch per epoch when the dataset is HBM-resident:
+    # the unroll gather happens inside the jitted step (per-dispatch
+    # tunnel latency would otherwise dominate the small BC step).
+    fused_gather = mesh is None and on_device
+    if fused_gather:
+        step_fn = bc_step.make_train_step_fused_gather(
+            opt, flags.unroll_length, batch_norm=flags.batch_norm,
+            conv_policy=conv_policy, max_grad_norm=flags.max_grad_norm)
+    else:
+        step_fn = bc_step.make_train_step(
+            opt, batch_norm=flags.batch_norm, conv_policy=conv_policy,
+            max_grad_norm=flags.max_grad_norm)
 
     print("=== Training policy ===")
     from pvr_habitat_tpu.utils import profiling
@@ -287,15 +297,20 @@ def run(flags, mode="precomputed"):
         epoch = frames // frames_per_epoch
         starts = sampler.sample_with_minimum_distance(
             n=n_samples, k=flags.batch_size, d=flags.unroll_length)
-        if mesh is None:
-            batch = sampler.gather_unrolls(train_data, starts,
-                                           flags.unroll_length)
+        if fused_gather:
+            state, metrics = step_fn(
+                state, train_data,
+                jnp.asarray(np.asarray(starts, np.int32)))
         else:
-            from pvr_habitat_tpu.parallel import mesh as pmesh
+            if mesh is None:
+                batch = sampler.gather_unrolls(train_data, starts,
+                                               flags.unroll_length)
+            else:
+                from pvr_habitat_tpu.parallel import mesh as pmesh
 
-            batch = pmesh.shard_batch(mesh, sampler.gather_unrolls_host(
-                train_data, starts, flags.unroll_length))
-        state, metrics = step_fn(state, batch)
+                batch = pmesh.shard_batch(mesh, sampler.gather_unrolls_host(
+                    train_data, starts, flags.unroll_length))
+            state, metrics = step_fn(state, batch)
         timer.tick()
 
         if (epoch + 1) % flags.eval_frequency == 0:

@@ -68,26 +68,54 @@ def make_train_step(opt, *, batch_norm=False, conv_policy=False,
                 else policy_mod.apply_policy)
 
     def step(state, batch):
-        rng, sample_rng = jax.random.split(state.rng)
-        t, b = batch["action"].shape
-        init_state = policy_mod.initial_state(b)
-
-        def loss_fn(params):
-            outputs, _, new_stats = apply_fn(
-                params, state.batch_stats,
-                dict(obs=batch["obs"], done=batch["done"]),
-                init_state, batch_norm=batch_norm, train=True,
-                rng=sample_rng)
-            return nll_loss(outputs["policy_logits"], batch["action"]), \
-                new_stats
-
-        (loss, new_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        grads, gnorm = optim.clip_by_global_norm_torch(grads, max_grad_norm)
-        updates, new_opt_state = opt.update(grads, state.opt_state,
-                                            state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, new_stats, new_opt_state, rng)
-        return new_state, dict(loss=loss, gradient_norm=gnorm)
+        return _step_body(state, batch, opt, apply_fn, batch_norm,
+                          max_grad_norm)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_train_step_fused_gather(opt, unroll_length, *, batch_norm=False,
+                                 conv_policy=False, max_grad_norm=40.0,
+                                 donate=True):
+    """Single-dispatch variant: the unroll gather runs INSIDE the jitted
+    step, so one device call per epoch covers gather+forward+backward+
+    update (the per-dispatch tunnel latency would otherwise dominate the
+    small BC step).  ``data`` is the device-resident dataset dict.
+
+    Returns jitted step(state, data, starts) -> (state, metrics)."""
+    apply_fn = (policy_mod.apply_conv_policy if conv_policy
+                else policy_mod.apply_policy)
+
+    def step(state, data, starts):
+        n = data["action"].shape[0]
+        idx = (starts[None, :]
+               + jnp.arange(unroll_length)[:, None]) % n
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+        return _step_body(state, batch, opt, apply_fn, batch_norm,
+                          max_grad_norm)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def _step_body(state, batch, opt, apply_fn, batch_norm, max_grad_norm):
+    rng, sample_rng = jax.random.split(state.rng)
+    t, b = batch["action"].shape
+    init_state = policy_mod.initial_state(b)
+
+    def loss_fn(params):
+        outputs, _, new_stats = apply_fn(
+            params, state.batch_stats,
+            dict(obs=batch["obs"], done=batch["done"]),
+            init_state, batch_norm=batch_norm, train=True,
+            rng=sample_rng)
+        return nll_loss(outputs["policy_logits"], batch["action"]), \
+            new_stats
+
+    (loss, new_stats), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    grads, gnorm = optim.clip_by_global_norm_torch(grads, max_grad_norm)
+    updates, new_opt_state = opt.update(grads, state.opt_state,
+                                        state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(params, new_stats, new_opt_state, rng)
+    return new_state, dict(loss=loss, gradient_norm=gnorm)
