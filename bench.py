@@ -43,10 +43,35 @@ def build_forward(batch_size, dtype=jnp.bfloat16, fused="off"):
 
     handle = build_encoder("resnet50", pretrained=False)
     params = fold_resnet_bn(handle.params)
-    params = jax.device_put(
-        jax.tree.map(lambda x: x.astype(dtype), params))
     preprocess = handle.preprocess
     spec = resnet.ResNetSpec(50)
+
+    if fused == "int8":
+        # W8A8 opt-in fast path: calibrate activation scales on one
+        # batch, then serve with static scales.
+        from pvr_habitat_tpu.ops import quantize as q
+
+        params_q = jax.device_put(q.quantize_resnet_params(params))
+        calib = jnp.asarray(np.random.RandomState(1).randint(
+            0, 256, size=(32, 64, 64, 3), dtype=np.uint8))
+        x = preprocess(calib, precision=jax.lax.Precision.DEFAULT,
+                       out_dtype=jnp.float32)
+        _, scales = resnet.apply_int8(params_q, x, spec)
+        scales = {k: float(v) for k, v in scales.items()}
+
+        @jax.jit
+        def forward_q(params, frames):
+            x = preprocess(frames, precision=jax.lax.Precision.DEFAULT,
+                           out_dtype=jnp.float32)
+            out, _ = resnet.apply_int8(params, x, spec, scales=scales)
+            return out
+
+        frames = jnp.asarray(np.random.RandomState(0).randint(
+            0, 256, size=(batch_size, 64, 64, 3), dtype=np.uint8))
+        return forward_q, params_q, frames
+
+    params = jax.device_put(
+        jax.tree.map(lambda x: x.astype(dtype), params))
     body = {
         "off": handle.apply_fn,
         "v1": lambda p, x, train=False: resnet.apply_fused(p, x, spec),
@@ -71,10 +96,13 @@ def main():
     parser.add_argument("--batch_size", type=int, default=256)
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
-    parser.add_argument("--fused", choices=["off", "v1", "v2", "hybrid"],
+    parser.add_argument("--fused",
+                        choices=["off", "v1", "v2", "hybrid", "int8"],
                         default="off",
-                        help="Pallas fused-bottleneck variants (off = "
-                             "pure XLA, the default driver-safe path).")
+                        help="Alternative compute paths: Pallas fused "
+                             "bottlenecks (v1/v2/hybrid) or W8A8 int8 "
+                             "(off = pure XLA bf16, the default "
+                             "driver-safe parity-grade path).")
     args = parser.parse_args()
 
     signal.signal(signal.SIGALRM, _watchdog)

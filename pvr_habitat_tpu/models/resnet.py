@@ -234,6 +234,51 @@ def apply_fused_hybrid(params, x, spec, interpret=False):
     return jnp.mean(y, axis=(1, 2))
 
 
+def _bottleneck_block_q(qs, x, p, prefix, stride, has_downsample):
+    from pvr_habitat_tpu.ops import quantize as q
+
+    identity = x
+    y = q.conv_q(qs, f"{prefix}.conv1", x, p, 1, 0,
+                 bias=q.affine_from_folded_bn(p, f"{prefix}.bn1"))
+    y = jnp.maximum(y, 0)
+    y = q.conv_q(qs, f"{prefix}.conv2", y, p, stride, 1,
+                 bias=q.affine_from_folded_bn(p, f"{prefix}.bn2"))
+    y = jnp.maximum(y, 0)
+    y = q.conv_q(qs, f"{prefix}.conv3", y, p, 1, 0,
+                 bias=q.affine_from_folded_bn(p, f"{prefix}.bn3"))
+    if has_downsample:
+        identity = q.conv_q(
+            qs, f"{prefix}.downsample.0", x, p, stride, 0,
+            bias=q.affine_from_folded_bn(p, f"{prefix}.downsample.1"))
+    return jnp.maximum(y + identity, 0)
+
+
+def apply_int8(params_q, x, spec, scales=None):
+    """W8A8 inference fast path (opt-in; not the parity path).
+
+    params_q: quantize_resnet_params(fold_resnet_bn(params)).
+    scales: calibrated activation scales; None = calibration mode —
+    scales are computed from this batch and returned.
+
+    Returns (out (N, out_size) f32, scales dict)."""
+    from pvr_habitat_tpu.ops import quantize as q
+
+    assert spec.block == "bottleneck" and spec.cut is None
+    qs = q.QuantState(scales)
+    y = q.conv_q(qs, "conv1", x, params_q, 2, 3,
+                 bias=q.affine_from_folded_bn(params_q, "bn1"))
+    y = jnp.maximum(y, 0)
+    y = cm.max_pool(y, window=3, stride=2, padding=1)
+    for stage_idx in range(4):
+        name = f"layer{stage_idx + 1}"
+        for i in range(spec.layers[stage_idx]):
+            stride = 2 if (i == 0 and stage_idx > 0) else 1
+            has_ds = f"{name}.{i}.downsample.0.weight" in params_q
+            y = _bottleneck_block_q(qs, y, params_q, f"{name}.{i}",
+                                    stride, has_ds)
+    return jnp.mean(y, axis=(1, 2)), qs.scales
+
+
 # -----------------------------------------------------------------------------
 # Initialization (torchvision distributions) — used when no checkpoint.
 # -----------------------------------------------------------------------------

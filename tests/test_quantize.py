@@ -1,0 +1,49 @@
+"""int8 W8A8 encoder path: quantization machinery and accuracy of the
+quantized ResNet-50 vs the f32 reference (opt-in fast path — bounded
+error, NOT the 1e-3 parity contract)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pvr_habitat_tpu.models import resnet
+from pvr_habitat_tpu.ops import quantize as q
+from pvr_habitat_tpu.ops.fold_bn import fold_resnet_bn
+from pvr_habitat_tpu.ops.image import default_preprocess
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32))
+    w_q, scale = q.quantize_weight(w)
+    assert w_q.dtype == jnp.int8 and scale.shape == (16,)
+    deq = w_q.astype(jnp.float32) * scale
+    err = np.abs(np.asarray(deq - w)).max()
+    assert err <= float(np.abs(np.asarray(w)).max()) / 127.0 + 1e-6
+
+
+def test_int8_resnet_accuracy():
+    spec = resnet.ResNetSpec(50)
+    params = fold_resnet_bn(
+        resnet.init_params(spec, np.random.RandomState(2)))
+    params_q = q.quantize_resnet_params(params)
+
+    rng = np.random.RandomState(3)
+    pre = default_preprocess()
+    calib = pre(jnp.asarray(rng.randint(0, 256, (2, 64, 64, 3), np.uint8)))
+    test_x = pre(jnp.asarray(rng.randint(0, 256, (2, 64, 64, 3), np.uint8)))
+
+    # calibration pass computes activation scales
+    _, scales = resnet.apply_int8(params_q, calib, spec)
+    scales = {k: float(v) for k, v in scales.items()}
+
+    got, _ = resnet.apply_int8(params_q, test_x, spec, scales=scales)
+    want = resnet.apply(params, test_x, spec)
+
+    got = np.asarray(got)
+    want = np.asarray(want)
+    cos = (got * want).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1))
+    rel = np.linalg.norm(got - want, axis=-1) / np.linalg.norm(want, axis=-1)
+    assert cos.min() > 0.99, cos
+    assert rel.max() < 0.15, rel
