@@ -55,14 +55,14 @@ def build_forward(batch_size, dtype=jnp.bfloat16, fused="off"):
         calib = jnp.asarray(np.random.RandomState(1).randint(
             0, 256, size=(32, 64, 64, 3), dtype=np.uint8))
         x = preprocess(calib, precision=jax.lax.Precision.DEFAULT,
-                       out_dtype=jnp.float32)
+                       out_dtype=jnp.bfloat16)
         _, scales = resnet.apply_int8(params_q, x, spec)
         scales = {k: float(v) for k, v in scales.items()}
 
         @jax.jit
         def forward_q(params, frames):
             x = preprocess(frames, precision=jax.lax.Precision.DEFAULT,
-                           out_dtype=jnp.float32)
+                           out_dtype=jnp.bfloat16)
             out, _ = resnet.apply_int8(params, x, spec, scales=scales)
             return out
 

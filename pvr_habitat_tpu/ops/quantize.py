@@ -61,14 +61,17 @@ class QuantState:
         return jnp.asarray(self.scales[name], jnp.float32)
 
 
-def conv_q(qs, name, x, params, stride=1, padding=0, bias=None):
-    """Quantized conv: x (float NHWC) -> float NHWC.
+def conv_q(qs, name, x, params, stride=1, padding=0, bias=None,
+           out_dtype=jnp.bfloat16):
+    """Quantized conv: x (float NHWC) -> out_dtype NHWC.
 
     x is quantized with the (calibrated) per-tensor scale, the conv runs
-    int8->int32, and dequant (+ optional bias) fuses into the output."""
+    int8->int32, and dequant (+ optional bias) fuses into the output.
+    Activations stay bf16 between layers (f32 intermediates would double
+    the HBM traffic and erase the int8 win)."""
     s_x = qs.activation_scale(name, x)
-    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
-                   -127, 127).astype(jnp.int8)
+    inv = (1.0 / s_x).astype(x.dtype)
+    x_q = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
     w_q = params[f"{name}.weight"]
     if isinstance(stride, int):
         stride = (stride, stride)
@@ -82,7 +85,7 @@ def conv_q(qs, name, x, params, stride=1, padding=0, bias=None):
     y = y.astype(jnp.float32) * scale
     if bias is not None:
         y = y + bias
-    return y
+    return y.astype(out_dtype)
 
 
 def affine_from_folded_bn(params, prefix):
