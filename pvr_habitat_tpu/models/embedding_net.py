@@ -41,6 +41,13 @@ class EmbeddingNet:
             embedding_name, pretrained=pretrained, train=train,
             checkpoint_dir=checkpoint_dir, run_id=run_id)
         self.params = self.handle.params
+        if not train and any(k.endswith(".running_mean")
+                             for k in self.params):
+            # Frozen encoder: fold BN into the convs (idempotent; the
+            # apply fns run unchanged on folded params).
+            from pvr_habitat_tpu.ops.fold_bn import fold_resnet_bn
+
+            self.params = fold_resnet_bn(self.params)
         self.out_size = self.handle.out_size
         if self.handle.preprocess is not None:
             self.in_shape = self.handle.preprocess.out_shape()
