@@ -28,7 +28,8 @@ from pvr_habitat_tpu.data import formats, sampler
 from pvr_habitat_tpu.envs.environment import make_environment
 from pvr_habitat_tpu.models.embedding_net import EmbeddingNet
 from pvr_habitat_tpu.train import bc_step
-from pvr_habitat_tpu.train.evaluate import PolicyRunner, batched_test, test
+from pvr_habitat_tpu.train.evaluate import (PolicyRunner, batched_test,
+                                             batched_test_embedded, test)
 from pvr_habitat_tpu.utils import checkpoint as ckpt
 from pvr_habitat_tpu.utils import stats as stats_util
 
@@ -137,7 +138,11 @@ def _shard_state(mesh, state):
     return bc_step.TrainState(params, stats, opt, rng)
 
 
-def _evaluate(runner, eval_envs, stat_keys, n_episodes):
+def _evaluate(runner, eval_envs, stat_keys, n_episodes, embedding=None):
+    if len(eval_envs) > 1 and embedding is not None:
+        # raw-frame envs; one shared encoder dispatch per tick
+        return batched_test_embedded(runner, eval_envs, embedding,
+                                     stat_keys, n_episodes)
     if len(eval_envs) > 1:
         return batched_test(runner, eval_envs, stat_keys, n_episodes)
     return test(runner, eval_envs[0], stat_keys, n_episodes)
@@ -185,9 +190,18 @@ def run(flags, mode="precomputed"):
     env = make_environment(env_flags, embedding_model)
     obs_shape = env.gym_env.observation_space.shape
     num_actions = env.gym_env.action_space.n
-    eval_envs = [env] + [
-        make_environment(env_flags, embedding_model, actor_id=2 + i)
-        for i in range(max(flags.eval_batch, 1) - 1)]
+    eval_batched_embed = (flags.eval_batch > 1
+                          and embedding_model is not None
+                          and flags.embedding_name != "true_state"
+                          and flags.num_input_frames == 1)
+    if eval_batched_embed:
+        # raw-frame envs; embedding happens jointly inside the evaluator
+        eval_envs = [make_environment(env_flags, None, actor_id=1 + i)
+                     for i in range(flags.eval_batch)]
+    else:
+        eval_envs = [env] + [
+            make_environment(env_flags, embedding_model, actor_id=2 + i)
+            for i in range(max(flags.eval_batch, 1) - 1)]
 
     mesh = _make_mesh(flags)
     max_epochs = flags.max_frames // (flags.unroll_length
@@ -261,7 +275,8 @@ def run(flags, mode="precomputed"):
         print("=== Initial evaluation ===")
         stats = stats_util.new_stats(to_env, stat_keys)
         stats_ep = _evaluate(make_runner(), eval_envs, stat_keys,
-                             flags.n_episodes_test)
+                             flags.n_episodes_test,
+                             embedding_model if eval_batched_embed else None)
         stats_util.append_eval(stats, to_env, stats_ep, stat_keys)
         for k in stat_keys:
             print("  ", k, np.mean(stats_ep[k]))
@@ -318,7 +333,9 @@ def run(flags, mode="precomputed"):
                     epoch, max_epochs, flags.eval_frequency)) or \
                     not flags.essential_save_only:
                 stats_ep = _evaluate(make_runner(), eval_envs,
-                                     stat_keys, flags.n_episodes_test)
+                                     stat_keys, flags.n_episodes_test,
+                                     embedding_model if eval_batched_embed
+                                     else None)
                 stats_util.append_eval(stats, to_env, stats_ep, stat_keys)
                 for k in stat_keys:
                     print("  ", k, np.mean(stats_ep[k]))
@@ -346,6 +363,8 @@ def run(flags, mode="precomputed"):
                     if embedding_model is not None else None)
 
     profile_ctx.__exit__(None, None, None)
+    env.close()
     for e in eval_envs:
-        e.close()
+        if e is not env:
+            e.close()
     return stats

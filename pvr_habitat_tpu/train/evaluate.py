@@ -77,6 +77,46 @@ def batched_test(model, envs, stat_keys, n_episodes=100):
     return stats
 
 
+def batched_test_embedded(model, raw_envs, embedding, stat_keys,
+                          n_episodes=100):
+    """Like batched_test, but the envs return RAW frames and the encoder
+    runs ONCE per tick over all K envs' frames — one embed dispatch and
+    one policy dispatch per simulator step regardless of K (the
+    per-step device latency no longer scales with the env count)."""
+    k = len(raw_envs)
+    outs = [env.initial() for env in raw_envs]
+    agent_state = model.initial_state(batch_size=k)
+    stats = {key: [] for key in stat_keys}
+    finished = 0
+
+    def embed_tick(raw_obs_list):
+        # raw obs: (1, 1, H, W, n*3) uint8 each -> (1, K, n*out_size)
+        frames = []
+        n_frames = raw_obs_list[0].shape[-1] // 3
+        for obs in raw_obs_list:
+            img = np.asarray(obs)[0, 0]
+            frames.extend(np.split(img, n_frames, axis=-1))
+        embedded = np.asarray(embedding(np.stack(frames)))
+        embedded = embedded.reshape(k, -1)
+        return embedded[None]
+
+    while finished < n_episodes:
+        obs = embed_tick([o["obs"] for o in outs])
+        done = np.concatenate([o["done"] for o in outs], axis=1)
+        agent_output, agent_state = model(dict(obs=obs, done=done),
+                                          agent_state)
+        actions = np.asarray(agent_output["action"]).reshape(-1)
+        for i, env in enumerate(raw_envs):
+            if finished >= n_episodes:
+                break
+            outs[i] = env.step(actions[i])
+            if outs[i]["done"]:
+                for key in stat_keys:
+                    stats[key].append(float(np.asarray(outs[i][key])[0][0]))
+                finished += 1
+    return stats
+
+
 def test(model, env, stat_keys, n_episodes=100):
     """Greedy rollouts; returns {stat: [per-episode values]}
     (reference: src/test_model.py)."""

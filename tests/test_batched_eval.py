@@ -31,6 +31,30 @@ def test_batched_eval_runs_and_counts_episodes():
         env.close()
 
 
+def test_batched_embedded_matches_wrapped():
+    """Shared-encoder eval == per-env EmbeddingWrapper eval (K=1, same
+    seeds)."""
+    from pvr_habitat_tpu.models.embedding_net import EmbeddingNet
+    from pvr_habitat_tpu.train.evaluate import batched_test_embedded
+
+    embedding = EmbeddingNet("random", pretrained=False, run_id=1)
+    runner = _runner(embedding.out_size, seed=2)
+
+    flags = default_flags(env="FakePointNav-room_0",
+                          embedding_name="random", max_episode_steps=20)
+    env_wrapped = make_environment(flags, embedding)
+    want = sequential_test(runner, env_wrapped, ["episode_return"],
+                           n_episodes=2)
+    env_wrapped.close()
+
+    env_raw = make_environment(flags, None)
+    got = batched_test_embedded(runner, [env_raw], embedding,
+                                ["episode_return"], n_episodes=2)
+    env_raw.close()
+    np.testing.assert_allclose(got["episode_return"],
+                               want["episode_return"], atol=1e-5)
+
+
 def test_batched_eval_k1_matches_sequential():
     """With K=1 and the same seeds, batched == sequential exactly."""
     flags = default_flags(env="FakePointNav-room_0",
