@@ -105,8 +105,11 @@ def layer_norm(x, p, prefix, eps=1e-6):
 
 
 def gelu(x):
-    """torch.nn.GELU default (exact erf form)."""
-    return jax.nn.gelu(x, approximate=False)
+    """torch.nn.GELU default (exact erf) in the f32 parity path; the
+    bf16 fast path uses the tanh approximation (measured: erf costs 34%
+    of the ViT MLP on the VPU, tanh is free; max diff ~3e-4 — under
+    bf16 resolution)."""
+    return jax.nn.gelu(x, approximate=x.dtype == jnp.bfloat16)
 
 
 # -----------------------------------------------------------------------------
