@@ -253,6 +253,24 @@ def _bottleneck_block_q(qs, x, p, prefix, stride, has_downsample):
     return jnp.maximum(y + identity, 0)
 
 
+def _basic_block_q(qs, x, p, prefix, stride):
+    from pvr_habitat_tpu.ops import quantize as q
+
+    identity = x
+    y = q.conv_q(qs, f"{prefix}.conv1", x, p, stride, 1,
+                 bias=q.affine_from_folded_bn(p, f"{prefix}.bn1"))
+    y = jnp.maximum(y, 0)
+    y = q.conv_q(qs, f"{prefix}.conv2", y, p, 1, 1,
+                 bias=q.affine_from_folded_bn(p, f"{prefix}.bn2"))
+    if f"{prefix}.downsample.0.weight" in p:
+        dw = p[f"{prefix}.downsample.0.weight"]
+        pad = (dw.shape[0] - 1) // 2
+        identity = q.conv_q(
+            qs, f"{prefix}.downsample.0", x, p, stride, pad,
+            bias=q.affine_from_folded_bn(p, f"{prefix}.downsample.1"))
+    return jnp.maximum(y + identity, 0)
+
+
 def apply_int8(params_q, x, spec, scales=None):
     """W8A8 inference fast path (opt-in; not the parity path).
 
@@ -260,22 +278,30 @@ def apply_int8(params_q, x, spec, scales=None):
     scales: calibrated activation scales; None = calibration mode —
     scales are computed from this batch and returned.
 
-    Returns (out (N, out_size) f32, scales dict)."""
+    Returns (out (N, out_size) f32/bf16, scales dict)."""
     from pvr_habitat_tpu.ops import quantize as q
 
-    assert spec.block == "bottleneck" and spec.cut is None
+    assert spec.block == "bottleneck"
     qs = q.QuantState(scales)
     y = q.conv_q(qs, "conv1", x, params_q, 2, 3,
                  bias=q.affine_from_folded_bn(params_q, "bn1"))
     y = jnp.maximum(y, 0)
     y = cm.max_pool(y, window=3, stride=2, padding=1)
-    for stage_idx in range(4):
+    for stage_idx in range(4 if spec.cut != "l3" else 3):
         name = f"layer{stage_idx + 1}"
+        grafted = (spec.cut == "l3" and stage_idx == 2) or \
+                  (spec.cut == "l4" and stage_idx == 3)
+        base = f"{name}.0" if grafted else name
         for i in range(spec.layers[stage_idx]):
             stride = 2 if (i == 0 and stage_idx > 0) else 1
-            has_ds = f"{name}.{i}.downsample.0.weight" in params_q
-            y = _bottleneck_block_q(qs, y, params_q, f"{name}.{i}",
+            has_ds = f"{base}.{i}.downsample.0.weight" in params_q
+            y = _bottleneck_block_q(qs, y, params_q, f"{base}.{i}",
                                     stride, has_ds)
+        if grafted:
+            y = _basic_block_q(qs, y, params_q, f"{name}.1", 1)
+    if spec.cut in ("l3", "l4"):
+        return jnp.transpose(y, (0, 3, 1, 2)).reshape(y.shape[0], -1), \
+            qs.scales
     return jnp.mean(y, axis=(1, 2)), qs.scales
 
 

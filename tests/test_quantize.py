@@ -22,6 +22,41 @@ def test_quantize_weight_roundtrip():
     assert err <= float(np.abs(np.asarray(w)).max()) / 127.0 + 1e-6
 
 
+def test_int8_compressed_variant():
+    """l4 cut runs through the quantized path with the right dims."""
+    spec = resnet.ResNetSpec(50, cut="l4")
+    params = fold_resnet_bn(
+        resnet.init_params(spec, np.random.RandomState(5)))
+    params_q = q.quantize_resnet_params(params)
+    x = default_preprocess()(jnp.asarray(
+        np.random.RandomState(6).randint(0, 256, (1, 64, 64, 3), np.uint8)))
+    out, scales = resnet.apply_int8(params_q, x, spec)
+    assert out.shape == (1, 2058)
+    want = np.asarray(resnet.apply(params, x, spec))
+    got = np.asarray(out)
+    cos = (got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.98, cos
+
+
+def test_sharded_embedder_int8():
+    from pvr_habitat_tpu.data.embed_pipeline import ShardedEmbedder
+    from pvr_habitat_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh((8, 1))
+    emb = ShardedEmbedder("resnet50", mesh=mesh, batch_size=8,
+                          pretrained=False, quantize=True)
+    frames = np.random.RandomState(0).randint(
+        0, 256, size=(10, 64, 64, 3), dtype=np.uint8)
+    out = emb.embed_all(frames)
+    assert out.shape == (10, 2048)
+    ref = ShardedEmbedder("resnet50", mesh=mesh, batch_size=8,
+                          pretrained=False,
+                          compute_dtype=jnp.float32).embed_all(frames)
+    cos = (out * ref).sum(-1) / (np.linalg.norm(out, axis=-1)
+                                 * np.linalg.norm(ref, axis=-1))
+    assert cos.min() > 0.99, cos
+
+
 def test_int8_resnet_accuracy():
     spec = resnet.ResNetSpec(50)
     params = fold_resnet_bn(
