@@ -72,10 +72,25 @@ def multihead_attention(x, wq, wk, wv, wo, bq, bk, bv, bo, num_heads,
     q = proj(wq, bq).reshape(n, l, num_heads, head)
     k = proj(wk, bk).reshape(n, l, num_heads, head)
     v = proj(wv, bv).reshape(n, l, num_heads, head)
-    scale = jnp.asarray(1.0 / np.sqrt(head), x.dtype)
-    logits = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k, precision=prec)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("nhqk,nkhd->nqhd", probs, v, precision=prec)
+    if x.dtype == jnp.bfloat16 and l >= 128 and \
+            jax.default_backend() == "tpu":
+        # bf16 fast path: Pallas fused attention keeps the (L, L)
+        # scores in VMEM (measured 1.3x vs the einsum core at ViT-B
+        # shapes incl. layout transposes; a wash at short sequences
+        # like CLIP-B/32's 50 tokens — see docs/DESIGN.md).
+        from pvr_habitat_tpu.ops.pallas.attention import fused_attention
+
+        out = fused_attention(jnp.transpose(q, (0, 2, 1, 3)),
+                              jnp.transpose(k, (0, 2, 1, 3)),
+                              jnp.transpose(v, (0, 2, 1, 3)))
+        out = jnp.transpose(out, (0, 2, 1, 3))
+    else:
+        scale = jnp.asarray(1.0 / np.sqrt(head), x.dtype)
+        logits = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k,
+                            precision=prec)
+        probs = jax.nn.softmax(logits.astype(jnp.float32),
+                               axis=-1).astype(x.dtype)
+        out = jnp.einsum("nhqk,nkhd->nqhd", probs, v, precision=prec)
     out = out.reshape(n, l, d)
     out = jnp.einsum("nld,ed->nle", out, wo.astype(x.dtype), precision=prec)
     return out + bo.astype(x.dtype)
