@@ -54,8 +54,14 @@ def expand_args(params, max_frames_map=None):
 
 
 def make_command(params):
-    return list(itertools.chain(
-        *[(f"--{k}", str(v)) for k, v in params.items()]))
+    out = []
+    for key, value in params.items():
+        if isinstance(value, bool):   # store_true flags take no value
+            if value:
+                out.append(f"--{key}")
+        else:
+            out += [f"--{key}", str(value)]
+    return out
 
 
 def is_run_completed(flags):
@@ -81,13 +87,30 @@ class LocalExecutor:
 
 
 class SubprocessExecutor:
-    def __init__(self, module_by_runner):
-        self.module_by_runner = module_by_runner
+    """One Python subprocess per job (process isolation without a
+    cluster).  Routes by the runner function's name to the drop-in CLI
+    entry points."""
+
+    MODULES = {
+        "runner_random": "main_bc_1.py",
+        "runner_pvr": "main_bc_2.py",
+        "runner_finetune": "main_bc_finetune.py",
+    }
+
+    def __init__(self, repo_root=None, extra_env=None):
+        self.repo_root = repo_root or os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        self.extra_env = extra_env or {}
 
     def submit(self, fn, flags):
-        module = self.module_by_runner[fn]
-        cmd = [sys.executable, module] + _flags_to_cli(flags)
-        proc = subprocess.run(cmd, check=False)
+        module = self.MODULES.get(fn.__name__)
+        if module is None:
+            fn(flags)  # unknown runner: run in-process
+            return "local"
+        env = dict(os.environ, **self.extra_env)
+        cmd = [sys.executable, os.path.join(self.repo_root, module)] \
+            + _flags_to_cli(flags)
+        proc = subprocess.run(cmd, check=False, cwd=self.repo_root, env=env)
         return f"subprocess:{proc.returncode}"
 
 
@@ -163,7 +186,8 @@ def default_bc_grid(scene_prefix="HabitatImageNav"):
     )
 
 
-def run_bc_sweep(grid=None, executor=None, debug=False, dry_run=False):
+def run_bc_sweep(grid=None, executor=None, debug=False, dry_run=False,
+                 max_frames_map=None):
     from pvr_habitat_tpu.train.bc import run as bc_run
 
     def runner_random(flags):
@@ -176,7 +200,7 @@ def run_bc_sweep(grid=None, executor=None, debug=False, dry_run=False):
     grid = grid if grid is not None else default_bc_grid()
     parser = build_parser()
     submitted = []
-    for run_args in expand_args(grid):
+    for run_args in expand_args(grid, max_frames_map):
         flags = parser.parse_args(make_command(run_args))
         if flags.to_env not in flags.env:   # skip transfer runs
             continue

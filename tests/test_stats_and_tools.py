@@ -87,6 +87,49 @@ def test_gen_all_smoke(tmp_path, monkeypatch):
     assert os.path.isfile(tmp_path / "FakePointNav-room_0.pickle")
 
 
+def test_sweep_local_executor_end_to_end(tmp_path):
+    """A tiny real sweep through the local executor: one true_state BC
+    job runs to completion and writes its stats pickle."""
+    import jax
+
+    from pvr_habitat_tpu.data import formats
+    from pvr_habitat_tpu.tools import sweep
+    from pvr_habitat_tpu.tools.save_opt_trajectories import gen_data_habitat
+    from pvr_habitat_tpu.utils.flags import default_flags
+
+    env = "FakeImageNav-room_0"
+    gflags = default_flags(env=env, save_path=str(tmp_path),
+                           max_episode_steps=25)
+    gflags.n_trajectories = 3
+    gen_data_habitat(gflags)
+    raw = formats.load_pickle(formats.raw_path(str(tmp_path), env))
+    data = {k: np.concatenate(raw[k])
+            for k in ("action", "reward", "done", "true_state")}
+    formats.save_embedded(
+        formats.embedded_path(str(tmp_path), env, "resnet50"),
+        np.zeros((len(data["action"]), 4), np.float32),
+        data["action"], data["reward"], data["done"], data["true_state"])
+
+    grid = dict(
+        env=[env], to_env=[env], embedding_name=["true_state"],
+        run_id=[1], save_path=[os.path.join(str(tmp_path), "latest")],
+        data_path=[str(tmp_path)], batch_size=[2], unroll_length=[5],
+        n_episodes_test=[1], eval_frequency=[1], max_episode_steps=[15],
+        debug=[True],
+    )
+    jobs = sweep.run_bc_sweep(
+        grid, sweep.LocalExecutor(),
+        max_frames_map={env: 2 * 5 * 2})
+    assert jobs == ["local"]
+    stem = os.path.join(str(tmp_path), "latest",
+                        f"{env}_emtrue_state_s1_{env}")
+    assert os.path.isfile(stem + ".pickle")
+    # relaunch skips the completed run
+    jobs2 = sweep.run_bc_sweep(grid, sweep.LocalExecutor(),
+                               max_frames_map={env: 2 * 5 * 2})
+    assert jobs2 == []
+
+
 def test_sweep_subprocess_flag_serialization():
     from pvr_habitat_tpu.tools.sweep import _flags_to_cli
     from pvr_habitat_tpu.utils.flags import build_parser, default_flags
