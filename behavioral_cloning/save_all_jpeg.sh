@@ -1,0 +1,2 @@
+#!/bin/bash
+python -m pvr_habitat_tpu.tools.gen_all --layout jpeg --all_scenes "$@"

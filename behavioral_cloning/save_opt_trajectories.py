@@ -1,0 +1,12 @@
+"""Drop-in CLI shim matching the reference's invocation path
+(python behavioral_cloning/save_opt_trajectories.py ...)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pvr_habitat_tpu.tools.save_opt_trajectories import (build_tool_parser,
+                                                         gen_data_habitat)
+
+if __name__ == "__main__":
+    gen_data_habitat(build_tool_parser().parse_args())
