@@ -37,16 +37,30 @@ class ShardedEmbedder:
             params = fold_resnet_bn(params)
 
         self._int8_spec = None
+        self._int8_apply = None
         if quantize:
             from pvr_habitat_tpu.models.registry import _resnet_family
             from pvr_habitat_tpu.ops import quantize as q
 
             family = _resnet_family(embedding_name)
-            if family is None or family[0].block != "bottleneck":
+            if family is not None and family[0].block == "bottleneck":
+                from pvr_habitat_tpu.models import resnet as resnet_mod
+
+                spec = family[0]
+                self._int8_apply = (
+                    lambda p, x, scales: resnet_mod.apply_int8(
+                        p, x, spec, scales=scales))
+            elif embedding_name == "clip_rn50":
+                from pvr_habitat_tpu.models import clip as clip_mod
+
+                self._int8_apply = (
+                    lambda p, x, scales: clip_mod.clip_rn50_apply_int8(
+                        p, x, scales=scales))
+            else:
                 raise NotImplementedError(
-                    f"int8 serving covers the ResNet families, "
-                    f"not '{embedding_name}'")
-            self._int8_spec = family[0]
+                    f"int8 serving covers the ResNet families and "
+                    f"clip_rn50, not '{embedding_name}'")
+            self._int8_spec = True
             params = q.quantize_resnet_params(params)
         elif compute_dtype == jnp.bfloat16:
             params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
@@ -61,20 +75,16 @@ class ShardedEmbedder:
         frames_sharding = NamedSharding(self.mesh, P("data"))
 
         if self._int8_spec is not None:
-            from pvr_habitat_tpu.models import resnet as resnet_mod
-
             def forward(params, frames, scales):
                 x = self.handle.preprocess(frames, precision=precision,
                                            out_dtype=jnp.bfloat16)
-                out, _ = resnet_mod.apply_int8(params, x, self._int8_spec,
-                                               scales=scales)
+                out, _ = self._int8_apply(params, x, scales)
                 return out.reshape(out.shape[0], -1).astype(jnp.float32)
 
             def calibrate(params, frames):
                 x = self.handle.preprocess(frames, precision=precision,
                                            out_dtype=jnp.bfloat16)
-                _, scales = resnet_mod.apply_int8(params, x,
-                                                  self._int8_spec)
+                _, scales = self._int8_apply(params, x, None)
                 return scales
 
             self._calibrate = jax.jit(calibrate)

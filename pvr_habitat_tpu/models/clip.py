@@ -248,6 +248,55 @@ def init_clip_rn50_params(rng, cfg=RN50):
 
 
 # -----------------------------------------------------------------------------
+# int8 fast path for the RN50 tower (opt-in; attnpool stays bf16)
+# -----------------------------------------------------------------------------
+
+
+def _modified_bottleneck_q(qs, x, p, prefix, stride):
+    from pvr_habitat_tpu.ops import quantize as q
+
+    identity = x
+    y = q.conv_q(qs, f"{prefix}.conv1", x, p, 1, 0,
+                 bias=q.affine_from_folded_bn(p, f"{prefix}.bn1"))
+    y = jnp.maximum(y, 0)
+    y = q.conv_q(qs, f"{prefix}.conv2", y, p, 1, 1,
+                 bias=q.affine_from_folded_bn(p, f"{prefix}.bn2"))
+    y = jnp.maximum(y, 0)
+    if stride > 1:
+        y = _avg_pool(y, stride)
+    y = q.conv_q(qs, f"{prefix}.conv3", y, p, 1, 0,
+                 bias=q.affine_from_folded_bn(p, f"{prefix}.bn3"))
+    if f"{prefix}.downsample.1.weight" in p:
+        identity = _avg_pool(identity, stride) if stride > 1 else identity
+        identity = q.conv_q(
+            qs, f"{prefix}.downsample.0", identity, p, 1, 0,
+            bias=q.affine_from_folded_bn(p, f"{prefix}.downsample.1"))
+    return jnp.maximum(y + identity, 0)
+
+
+def clip_rn50_apply_int8(params_q, x, scales=None, cfg=RN50):
+    """W8A8 ModifiedResNet (convs int8; attention pool in the input
+    dtype).  Returns (out, scales) like resnet.apply_int8."""
+    from pvr_habitat_tpu.ops import quantize as q
+
+    qs = q.QuantState(scales)
+    y = x
+    for i, stride in ((1, 2), (2, 1), (3, 1)):
+        y = q.conv_q(qs, f"visual.conv{i}", y, params_q, stride, 1,
+                     bias=q.affine_from_folded_bn(params_q,
+                                                  f"visual.bn{i}"))
+        y = jnp.maximum(y, 0)
+    y = _avg_pool(y, 2)
+    for stage_idx, blocks in enumerate(cfg["layers"]):
+        stride = 1 if stage_idx == 0 else 2
+        for i in range(blocks):
+            y = _modified_bottleneck_q(
+                qs, y, params_q, f"visual.layer{stage_idx + 1}.{i}",
+                stride if i == 0 else 1)
+    return _attention_pool(y, params_q, cfg["heads"]), qs.scales
+
+
+# -----------------------------------------------------------------------------
 # Builders
 # -----------------------------------------------------------------------------
 

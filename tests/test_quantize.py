@@ -57,6 +57,25 @@ def test_sharded_embedder_int8():
     assert cos.min() > 0.99, cos
 
 
+def test_int8_clip_rn50():
+    from pvr_habitat_tpu.models import clip as clip_mod
+    from pvr_habitat_tpu.ops.image import clip_preprocess
+
+    params = clip_mod.init_clip_rn50_params(np.random.RandomState(7))
+    params = fold_resnet_bn(params)
+    params_q = q.quantize_resnet_params(params)
+    x = clip_preprocess(224)(jnp.asarray(
+        np.random.RandomState(8).randint(0, 256, (1, 64, 64, 3), np.uint8)))
+    out, scales = clip_mod.clip_rn50_apply_int8(params_q, x)
+    scales = {k: float(v) for k, v in scales.items()}
+    out2, _ = clip_mod.clip_rn50_apply_int8(params_q, x, scales=scales)
+    want = np.asarray(clip_mod.clip_rn50_apply(params, x))
+    got = np.asarray(out2)
+    assert got.shape == want.shape == (1, 1024)
+    cos = (got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.98, cos
+
+
 def test_int8_resnet_accuracy():
     spec = resnet.ResNetSpec(50)
     params = fold_resnet_bn(
