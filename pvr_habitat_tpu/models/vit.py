@@ -141,6 +141,59 @@ def mae_apply(params, x, *, depth, num_heads, patch, train=False):
     return y[:, 0, :]
 
 
+def _timm_block_q(qs, x, p, prefix, num_heads):
+    """int8 ViT block: linears run W8A8; LN/attention-core stay bf16."""
+    from pvr_habitat_tpu.ops import quantize as qz
+
+    n, l, d = x.shape
+    y = cm.layer_norm(x, p, f"{prefix}.norm1", eps=1e-6)
+    qkv = qz.linear_q(qs, f"{prefix}.attn.qkv", y.reshape(n * l, d), p)
+    qkv = qkv.reshape(n, l, 3, num_heads, d // num_heads)
+    q_, k_, v_ = (qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+    if jax.default_backend() == "tpu" and l >= 128:
+        from pvr_habitat_tpu.ops.pallas.attention import fused_attention
+
+        out = fused_attention(jnp.transpose(q_, (0, 2, 1, 3)),
+                              jnp.transpose(k_, (0, 2, 1, 3)),
+                              jnp.transpose(v_, (0, 2, 1, 3)))
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(n, l, d)
+    else:
+        scale = jnp.asarray(1.0 / np.sqrt(d // num_heads), q_.dtype)
+        logits = jnp.einsum("nqhd,nkhd->nhqk", q_ * scale, k_)
+        probs = jax.nn.softmax(logits.astype(jnp.float32),
+                               -1).astype(q_.dtype)
+        out = jnp.einsum("nhqk,nkhd->nqhd", probs, v_).reshape(n, l, d)
+    out = qz.linear_q(qs, f"{prefix}.attn.proj", out.reshape(n * l, d), p)
+    x = x + out.reshape(n, l, d)
+
+    y = cm.layer_norm(x, p, f"{prefix}.norm2", eps=1e-6)
+    y = cm.gelu(qz.linear_q(qs, f"{prefix}.mlp.fc1",
+                            y.reshape(n * l, d), p))
+    y = qz.linear_q(qs, f"{prefix}.mlp.fc2", y, p)
+    return x + y.reshape(n, l, d)
+
+
+def mae_apply_int8(params_q, x, *, depth, num_heads, patch, scales=None):
+    """W8A8 MAE encoder (opt-in fast path).  Returns (cls, scales)."""
+    from pvr_habitat_tpu.ops import quantize as qz
+
+    qs = qz.QuantState(scales)
+    n = x.shape[0]
+    y = qz.conv_q(qs, "patch_embed.proj", x, params_q, patch, 0,
+                  bias=params_q["patch_embed.proj.bias"]
+                  .astype(jnp.float32))
+    gh, gw, d = y.shape[1], y.shape[2], y.shape[3]
+    y = y.reshape(n, gh * gw, d)
+    pos = params_q["pos_embed"].astype(y.dtype)
+    y = y + pos[:, 1:, :]
+    cls = params_q["cls_token"].astype(y.dtype) + pos[:, :1, :]
+    y = jnp.concatenate([jnp.broadcast_to(cls, (n, 1, d)), y], axis=1)
+    for i in range(depth):
+        y = _timm_block_q(qs, y, params_q, f"blocks.{i}", num_heads)
+    y = cm.layer_norm(y, params_q, "norm", eps=1e-6)
+    return y[:, 0, :], qs.scales
+
+
 def init_mae_params(name, rng):
     """Xavier-uniform torch-equivalent init, fixed sin-cos pos embed."""
     embed_dim, depth, num_heads, patch = MAE_CONFIGS[name]

@@ -20,12 +20,14 @@ from pvr_habitat_tpu.models import common as cm
 def quantize_weight(w, axis=-1):
     """HWIO (or (out,in)) weight -> (int8 weight, f32 per-out-channel
     scale)."""
-    reduce_axes = tuple(i for i in range(w.ndim) if i != (w.ndim + axis
-                                                          if axis < 0
-                                                          else axis))
+    axis = w.ndim + axis if axis < 0 else axis
+    reduce_axes = tuple(i for i in range(w.ndim) if i != axis)
     amax = jnp.max(jnp.abs(w), axis=reduce_axes)
     scale = jnp.maximum(amax, 1e-8) / 127.0
-    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    shape = [1] * w.ndim
+    shape[axis] = -1
+    w_q = jnp.clip(jnp.round(w / scale.reshape(shape)),
+                   -127, 127).astype(jnp.int8)
     return w_q, scale.astype(jnp.float32)
 
 
@@ -85,6 +87,39 @@ def conv_q(qs, name, x, params, stride=1, padding=0, bias=None,
     y = y.astype(jnp.float32) * scale
     if bias is not None:
         y = y + bias
+    return y.astype(out_dtype)
+
+
+def quantize_vit_params(params):
+    """ViT params -> int8 dict: the patch-embed conv (4D) and every
+    block linear (2D .weight of qkv/proj/mlp) quantize per-out-channel;
+    LayerNorm weights (1D), biases, cls/pos embeddings stay float."""
+    out = {}
+    for key, value in params.items():
+        quantizable = key.endswith(".weight") and (
+            value.ndim == 4
+            or (value.ndim == 2 and (".attn." in key or ".mlp." in key)))
+        if quantizable:
+            axis = -1 if value.ndim == 4 else 0   # HWIO out-last; (out,in)
+            w_q, scale = quantize_weight(value, axis=axis)
+            out[key] = w_q
+            out[key[:-len(".weight")] + ".wscale"] = scale
+        else:
+            out[key] = value
+    return out
+
+
+def linear_q(qs, name, x, params, out_dtype=jnp.bfloat16):
+    """Quantized torch-style linear: x (M, in) float -> (M, out)."""
+    s_x = qs.activation_scale(name, x)
+    inv = (1.0 / s_x).astype(x.dtype)
+    x_q = jnp.clip(jnp.round(x * inv), -127, 127).astype(jnp.int8)
+    w_q = params[f"{name}.weight"]                 # (out, in) int8
+    y = jnp.matmul(x_q, w_q.T, preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (s_x * params[f"{name}.wscale"])
+    bias = params.get(f"{name}.bias")
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
     return y.astype(out_dtype)
 
 

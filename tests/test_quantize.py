@@ -76,6 +76,60 @@ def test_int8_clip_rn50():
     assert cos > 0.98, cos
 
 
+def test_int8_mae():
+    from pvr_habitat_tpu.models import vit
+    from pvr_habitat_tpu.ops.image import mae_preprocess
+
+    depth, heads, patch, dim = 2, 4, 16, 96
+    # small config through the same code path
+    params = vit.init_mae_params("mae_base", np.random.RandomState(9))
+    # shrink: take a tiny handmade config instead
+    rng = np.random.RandomState(9)
+    params = {}
+    import math
+
+    def xavier(shape):
+        a = math.sqrt(6.0 / sum(shape))
+        return jnp.asarray(rng.uniform(-a, a, shape).astype(np.float32))
+
+    params["patch_embed.proj.weight"] = xavier((patch, patch, 3, dim))
+    params["patch_embed.proj.bias"] = jnp.zeros(dim)
+    params["cls_token"] = xavier((1, 1, dim))
+    params["pos_embed"] = jnp.asarray(
+        vit.sincos_pos_embed_2d(dim, 224 // patch, True)[None])
+    for i in range(depth):
+        pre = f"blocks.{i}"
+        params[f"{pre}.norm1.weight"] = jnp.ones(dim)
+        params[f"{pre}.norm1.bias"] = jnp.zeros(dim)
+        params[f"{pre}.attn.qkv.weight"] = xavier((3 * dim, dim))
+        params[f"{pre}.attn.qkv.bias"] = jnp.zeros(3 * dim)
+        params[f"{pre}.attn.proj.weight"] = xavier((dim, dim))
+        params[f"{pre}.attn.proj.bias"] = jnp.zeros(dim)
+        params[f"{pre}.norm2.weight"] = jnp.ones(dim)
+        params[f"{pre}.norm2.bias"] = jnp.zeros(dim)
+        params[f"{pre}.mlp.fc1.weight"] = xavier((4 * dim, dim))
+        params[f"{pre}.mlp.fc1.bias"] = jnp.zeros(4 * dim)
+        params[f"{pre}.mlp.fc2.weight"] = xavier((dim, 4 * dim))
+        params[f"{pre}.mlp.fc2.bias"] = jnp.zeros(dim)
+    params["norm.weight"] = jnp.ones(dim)
+    params["norm.bias"] = jnp.zeros(dim)
+
+    x = mae_preprocess()(jnp.asarray(
+        np.random.RandomState(10).randint(0, 256, (2, 64, 64, 3), np.uint8)))
+    want = np.asarray(vit.mae_apply(params, x, depth=depth,
+                                    num_heads=heads, patch=patch))
+    params_q = q.quantize_vit_params(params)
+    out, scales = vit.mae_apply_int8(params_q, x, depth=depth,
+                                     num_heads=heads, patch=patch)
+    scales = {k: float(v) for k, v in scales.items()}
+    got, _ = vit.mae_apply_int8(params_q, x, depth=depth, num_heads=heads,
+                                patch=patch, scales=scales)
+    got = np.asarray(got)
+    cos = (got * want).sum(-1) / (np.linalg.norm(got, axis=-1)
+                                  * np.linalg.norm(want, axis=-1))
+    assert cos.min() > 0.98, cos
+
+
 def test_int8_resnet_accuracy():
     spec = resnet.ResNetSpec(50)
     params = fold_resnet_bn(
