@@ -13,7 +13,7 @@ constructible (tests, dry-runs); a warning notes the fallback.
 import hashlib
 import os
 import warnings
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import numpy as np

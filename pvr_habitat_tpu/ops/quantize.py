@@ -14,7 +14,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pvr_habitat_tpu.models import common as cm
 
 
 def quantize_weight(w, axis=-1):

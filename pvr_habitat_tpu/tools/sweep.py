@@ -16,7 +16,6 @@ skip/resume contract makes relaunches elastic and crash-tolerant.
 """
 
 import argparse
-import copy
 import itertools
 import os
 import pickle

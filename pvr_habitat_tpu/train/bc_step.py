@@ -8,7 +8,6 @@ device mesh, the batch axis is sharded over 'data' and XLA inserts the
 grad all-reduce (see pvr_habitat_tpu.parallel).
 """
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
