@@ -22,6 +22,7 @@ import pickle
 import subprocess
 import sys
 
+from pvr_habitat_tpu.utils import stats as stats_util
 from pvr_habitat_tpu.utils.flags import build_parser
 
 DEFAULT_MAX_FRAMES = 200000000
@@ -63,11 +64,14 @@ def make_command(params):
     return out
 
 
-def is_run_completed(flags):
-    save_path = os.path.join(
-        flags.save_path,
-        f"{flags.env}_em{flags.embedding_name}_s{flags.run_id}"
-        f"_{flags.to_env}")
+def is_run_completed(flags, embedding_label=None):
+    """Completed-run skip (reference: slurm_bc.py:157-168).
+
+    Uses ``stats_util.run_save_path`` as the single naming source of
+    truth so finetune runs — which save under ``emrandom_finetuned``
+    (main_bc_finetune.py:44, train/bc.py:163) — are skipped too.
+    """
+    save_path = stats_util.run_save_path(flags, embedding_label)
     if not os.path.isfile(save_path + ".pickle"):
         return False
     with open(save_path + ".pickle", "rb") as handle:
@@ -186,7 +190,11 @@ def default_bc_grid(scene_prefix="HabitatImageNav"):
 
 
 def run_bc_sweep(grid=None, executor=None, debug=False, dry_run=False,
-                 max_frames_map=None):
+                 max_frames_map=None, finetune=False):
+    """BC sweep (slurm_bc.py semantics).  ``finetune=True`` = the
+    slurm_bc_finetune.py variant: every job trains the conv policy end
+    to end and saves under ``emrandom_finetuned``; the completed-run
+    skip checks that name."""
     from pvr_habitat_tpu.train.bc import run as bc_run
 
     def runner_random(flags):
@@ -194,6 +202,9 @@ def run_bc_sweep(grid=None, executor=None, debug=False, dry_run=False,
 
     def runner_pvr(flags):
         return bc_run(flags, mode="precomputed")
+
+    def runner_finetune(flags):
+        return bc_run(flags, mode="finetune")
 
     executor = executor or LocalExecutor()
     grid = grid if grid is not None else default_bc_grid()
@@ -203,14 +214,19 @@ def run_bc_sweep(grid=None, executor=None, debug=False, dry_run=False,
         flags = parser.parse_args(make_command(run_args))
         if flags.to_env not in flags.env:   # skip transfer runs
             continue
-        if is_run_completed(flags):
+        label = "random_finetuned" if finetune else None
+        if is_run_completed(flags, label):
             print("skipping completed", flags.xpid)
             continue
         flags.essential_save_only = True
         if flags.embedding_name != "true_state":
             flags.batch_norm = True
-        runner = (runner_random if flags.embedding_name == "random"
-                  else runner_pvr)
+        if finetune:
+            runner = runner_finetune
+        elif flags.embedding_name == "random":
+            runner = runner_random
+        else:
+            runner = runner_pvr
         if dry_run:
             submitted.append(flags)
             continue
@@ -288,12 +304,9 @@ def main():
     elif args.kind == "embed":
         run_embedding_sweep(default_embedding_grid(prefix), executor)
     else:
-        from pvr_habitat_tpu.train.bc import run as bc_run
         grid = default_bc_grid(prefix)
         grid["embedding_name"] = ["random"]
-        for flags in run_bc_sweep(grid, executor, debug=args.debug,
-                                  dry_run=True):
-            executor.submit(lambda f: bc_run(f, mode="finetune"), flags)
+        run_bc_sweep(grid, executor, debug=args.debug, finetune=True)
 
 
 if __name__ == "__main__":
