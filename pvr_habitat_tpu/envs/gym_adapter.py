@@ -9,6 +9,16 @@ from pvr_habitat_tpu.envs import api
 
 
 class AtariWrapper(api.Wrapper):
+    """Atari lives/FIRE/no-op handling (reference:
+    src/gym_wrappers.py:293-342).
+
+    Documented fix (see PARITY.md): the reference's ``reset`` leaves
+    ``obs`` unbound when ``_real_reset`` is false (a soft reset after a
+    life loss) and would raise UnboundLocalError; latent there because
+    its rollout loop only resets on episode end (``_real_reset`` true).
+    Here a soft reset returns the last observation from ``step``.
+    """
+
     def __init__(self, env):
         super().__init__(env)
         self._max_lives = env.unwrapped.ale.lives()
@@ -17,12 +27,15 @@ class AtariWrapper(api.Wrapper):
         self._real_reset = True
         self._max_no_op_actions = 30
         self._current_no_op = None
+        self._last_obs = None
         assert env.unwrapped.get_action_meanings()[0] == "NOOP"
 
     def reset(self):
         if self._real_reset:
             obs = self.env.reset()
             self._lives = self._max_lives
+        else:
+            obs = self._last_obs
         self._force_fire = \
             self.env.unwrapped.get_action_meanings()[1] == "FIRE"
         self._current_no_op = np.random.randint(self._max_no_op_actions + 1)
@@ -42,6 +55,7 @@ class AtariWrapper(api.Wrapper):
             self._lives = info["ale.lives"]
             self._force_fire = \
                 self.env.unwrapped.get_action_meanings()[1] == "FIRE"
+        self._last_obs = obs
         info = dict(info)
         info["success"] = 0.0
         return np.asarray(obs), reward, absorbing, info

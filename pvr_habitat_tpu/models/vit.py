@@ -72,13 +72,15 @@ def multihead_attention(x, wq, wk, wv, wo, bq, bk, bv, bo, num_heads,
     q = proj(wq, bq).reshape(n, l, num_heads, head)
     k = proj(wk, bk).reshape(n, l, num_heads, head)
     v = proj(wv, bv).reshape(n, l, num_heads, head)
+    from pvr_habitat_tpu.ops.pallas.attention import (
+        fused_attention, pallas_attention_enabled)
     if x.dtype == jnp.bfloat16 and l >= 128 and \
-            jax.default_backend() == "tpu":
+            jax.default_backend() == "tpu" and pallas_attention_enabled():
         # bf16 fast path: Pallas fused attention keeps the (L, L)
         # scores in VMEM (measured 1.3x vs the einsum core at ViT-B
         # shapes incl. layout transposes; a wash at short sequences
         # like CLIP-B/32's 50 tokens — see docs/DESIGN.md).
-        from pvr_habitat_tpu.ops.pallas.attention import fused_attention
+        # Kill switch: PVR_TPU_DISABLE_PALLAS_ATTENTION=1.
 
         out = fused_attention(jnp.transpose(q, (0, 2, 1, 3)),
                               jnp.transpose(k, (0, 2, 1, 3)),
@@ -150,9 +152,10 @@ def _timm_block_q(qs, x, p, prefix, num_heads):
     qkv = qz.linear_q(qs, f"{prefix}.attn.qkv", y.reshape(n * l, d), p)
     qkv = qkv.reshape(n, l, 3, num_heads, d // num_heads)
     q_, k_, v_ = (qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
-    if jax.default_backend() == "tpu" and l >= 128:
-        from pvr_habitat_tpu.ops.pallas.attention import fused_attention
-
+    from pvr_habitat_tpu.ops.pallas.attention import (
+        fused_attention, pallas_attention_enabled)
+    if jax.default_backend() == "tpu" and l >= 128 \
+            and pallas_attention_enabled():
         out = fused_attention(jnp.transpose(q_, (0, 2, 1, 3)),
                               jnp.transpose(k_, (0, 2, 1, 3)),
                               jnp.transpose(v_, (0, 2, 1, 3)))

@@ -69,3 +69,39 @@ def test_batched_eval_k1_matches_sequential():
     bat = batched_test(runner, [env_b], ["episode_return"], n_episodes=3)
     env_b.close()
     np.testing.assert_allclose(seq["episode_return"], bat["episode_return"])
+
+
+def test_batched_eval_per_env_quotas():
+    """Each lockstep env contributes exactly its quota of episodes —
+    a fast env must not crowd out slow ones (round-1 VERDICT weak #6)."""
+    from pvr_habitat_tpu.train import evaluate
+
+    class _ScriptedEnv:
+        """done every `period` steps; episode_return = period."""
+
+        def __init__(self, period):
+            self.period = period
+            self.t = 0
+
+        def initial(self):
+            return dict(obs=np.zeros((1, 1, 12), np.float32),
+                        done=np.ones((1, 1), bool),
+                        episode_return=np.zeros((1, 1), np.float32))
+
+        def step(self, action):
+            self.t += 1
+            done = self.t % self.period == 0
+            return dict(obs=np.zeros((1, 1, 12), np.float32),
+                        done=np.full((1, 1), done),
+                        episode_return=np.full((1, 1), float(self.period),
+                                               np.float32))
+
+        def close(self):
+            pass
+
+    runner = _runner(12, seed=3)
+    envs = [_ScriptedEnv(2), _ScriptedEnv(10)]   # fast env, slow env
+    stats = evaluate.batched_test(runner, envs, ["episode_return"],
+                                  n_episodes=4)
+    # quota 2 each: returns must be two 2.0s and two 10.0s
+    assert sorted(stats["episode_return"]) == [2.0, 2.0, 10.0, 10.0]

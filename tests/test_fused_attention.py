@@ -23,3 +23,28 @@ def test_fused_attention_matches_einsum():
     got = fused_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_attention_kill_switch(monkeypatch):
+    from pvr_habitat_tpu.ops.pallas.attention import \
+        pallas_attention_enabled
+
+    monkeypatch.delenv("PVR_TPU_DISABLE_PALLAS_ATTENTION", raising=False)
+    assert pallas_attention_enabled()
+    monkeypatch.setenv("PVR_TPU_DISABLE_PALLAS_ATTENTION", "1")
+    assert not pallas_attention_enabled()
+
+
+def test_vit_forward_unaffected_by_kill_switch(monkeypatch):
+    """The routing flag must not change results on the einsum path (CPU
+    CI never takes the Pallas branch, so outputs are identical)."""
+    from pvr_habitat_tpu.models.registry import build_encoder
+
+    handle = build_encoder("mae_base", pretrained=False)
+    frames = np.random.RandomState(0).randint(
+        0, 256, size=(2, 64, 64, 3), dtype=np.uint8)
+    x = handle.preprocess(jnp.asarray(frames))
+    a = handle.apply_fn(handle.params, x, train=False)
+    monkeypatch.setenv("PVR_TPU_DISABLE_PALLAS_ATTENTION", "1")
+    b = handle.apply_fn(handle.params, x, train=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
