@@ -30,3 +30,163 @@ def test_convert_moco_checkpoint(tmp_path):
     assert set(params) == set(want)
     np.testing.assert_array_equal(np.asarray(params["conv1.weight"]),
                                   np.asarray(want["conv1.weight"]))
+
+
+# -----------------------------------------------------------------------------
+# Every checkpoint-surgery scheme, validated against a REAL torch.save
+# file in the reference's exact on-disk format (round-1 VERDICT item 4):
+# module.* (places), module.encoder_q.* + fc drop (moco, incl. the
+# compressed l3 graft), detectron2 {"model": backbone.* + RPN/ROI junk},
+# CLIP full state dict with text-tower keys, MAE {"model": ...} with
+# decoder_* keys.  Each round-trips through registry.build_encoder and
+# must match the torch oracle's forward exactly.
+# -----------------------------------------------------------------------------
+
+import jax.numpy as jnp
+
+from pvr_habitat_tpu.models.registry import CHECKPOINT_FILES, build_encoder
+
+
+def _randomize_bn(model, seed):
+    gen = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, buf in model.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=gen) * 0.05)
+            elif name.endswith("running_var"):
+                buf.copy_(torch.rand(buf.shape, generator=gen) * 0.5 + 0.75)
+
+
+def _stage(tmp_path, name, payload):
+    torch.save(payload, str(tmp_path / CHECKPOINT_FILES[name]))
+
+
+def _forward_parity(handle, torch_forward, hw=64, seed=0, scale=0.3,
+                    atol=1e-3):
+    x = (np.random.RandomState(seed).randn(1, hw, hw, 3) * scale
+         ).astype(np.float32)
+    with torch.no_grad():
+        want = torch_forward(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    got = np.asarray(handle.apply_fn(handle.params, jnp.asarray(x),
+                                     train=False))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=atol, rtol=1e-3)
+
+
+def test_scheme_places_module_prefix(tmp_path):
+    """resnet50_places: {'state_dict': module.*} with strip_module_prefix
+    (reference: src/vision_models/resnet.py:35-42)."""
+    model = tref.resnet50()
+    model.eval()
+    _randomize_bn(model, 0)
+    state = {f"module.{k}": v for k, v in model.state_dict().items()}
+    state["module.fc.weight"] = torch.zeros(365, 2048)  # places head: unused
+    state["module.fc.bias"] = torch.zeros(365)
+    _stage(tmp_path, "resnet50_places", {"state_dict": state})
+
+    handle = build_encoder("resnet50_places", pretrained=True,
+                           checkpoint_dir=str(tmp_path))
+    want = convert.torch_state_dict_to_flat(model.state_dict())
+    assert set(handle.params) == set(want)
+    _forward_parity(handle, model)
+
+
+def test_scheme_moco_l3_compressed(tmp_path):
+    """moco_aug_l3: module.encoder_q.* strip + fc drop on the l3 grafted
+    model — the compress-block keys (layer3.1.*) ride the checkpoint
+    (reference: src/vision_models/moco.py:29-71 asserts missing==0)."""
+    wrapper = tref.resnet50_compressed("l3")
+    wrapper.eval()
+    inner = wrapper.model
+    _randomize_bn(inner, 1)
+    state = {f"module.encoder_q.{k}": v for k, v in
+             inner.state_dict().items()}
+    state["module.encoder_q.fc.0.weight"] = torch.zeros(2048, 2048)
+    state["module.encoder_q.fc.2.weight"] = torch.zeros(128, 2048)
+    state.update({f"module.encoder_k.{k}": torch.zeros_like(v)
+                  for k, v in list(inner.state_dict().items())[:3]})
+    state["queue"] = torch.zeros(128, 65536)
+    _stage(tmp_path, "moco_aug_l3", {"state_dict": state,
+                                     "epoch": 200, "arch": "resnet50"})
+
+    handle = build_encoder("moco_aug_l3", pretrained=True,
+                           checkpoint_dir=str(tmp_path))
+    want = convert.torch_state_dict_to_flat(inner.state_dict())
+    assert set(handle.params) == set(want)
+    _forward_parity(handle, wrapper)
+
+
+def test_scheme_maskrcnn_backbone(tmp_path):
+    """maskrcnn_l3: detectron2 {'model': ...} payload — keep backbone.*,
+    discard proposal generator / ROI heads
+    (reference: src/vision_models/maskrcnn.py:132-136)."""
+    from tests.torch_ref import maskrcnn as oracle_mask
+
+    model = oracle_mask.C4Backbone()
+    model.eval()
+    _randomize_bn(model, 2)
+    state = {f"backbone.{k}": v for k, v in model.state_dict().items()}
+    # detectron2 junk the surgery must drop
+    state["proposal_generator.rpn_head.conv.weight"] = \
+        torch.zeros(1024, 1024, 3, 3)
+    state["roi_heads.box_predictor.cls_score.weight"] = \
+        torch.zeros(81, 2048)
+    state["pixel_mean"] = torch.zeros(3)
+    _stage(tmp_path, "maskrcnn_l3", {"model": state, "iteration": 9999})
+
+    handle = build_encoder("maskrcnn_l3", pretrained=True,
+                           checkpoint_dir=str(tmp_path))
+    want = convert.torch_state_dict_to_flat(model.state_dict())
+    assert set(handle.params) == set(want)
+    _forward_parity(handle, model, hw=224, seed=2, scale=0.2, atol=2e-3)
+
+
+def test_scheme_clip_full_state_dict(tmp_path):
+    """clip_vit: the full CLIP state dict — visual.* tower kept, text
+    tower (top-level transformer.*, token_embedding, text_projection,
+    logit_scale, positional_embedding) dropped
+    (reference: src/embeddings.py:298-314 via clip.load)."""
+    from tests.torch_ref import vit as oracle_vit
+
+    model = oracle_vit.CLIPVisionTransformer()
+    model.eval()
+    state = {f"visual.{k}": v for k, v in model.state_dict().items()}
+    # text tower keys present in every OpenAI CLIP checkpoint
+    state["positional_embedding"] = torch.zeros(77, 512)
+    state["text_projection"] = torch.zeros(512, 512)
+    state["logit_scale"] = torch.zeros(())
+    state["token_embedding.weight"] = torch.zeros(49408, 512)
+    state["ln_final.weight"] = torch.zeros(512)
+    state["transformer.resblocks.0.attn.in_proj_weight"] = \
+        torch.zeros(1536, 512)
+    _stage(tmp_path, "clip_vit", state)
+
+    handle = build_encoder("clip_vit", pretrained=True,
+                           checkpoint_dir=str(tmp_path))
+    want = convert.torch_state_dict_to_flat(
+        {f"visual.{k}": v for k, v in model.state_dict().items()})
+    assert set(handle.params) == set(want)
+    _forward_parity(handle, model, hw=224, seed=3, atol=2e-3)
+
+
+def test_scheme_mae_model_key_with_decoder(tmp_path):
+    """mae_base: {'model': ...} payload with decoder_* keys to ignore
+    (reference: src/embeddings.py:139-148, strict=False load)."""
+    from tests.torch_ref import vit as oracle_vit
+
+    model = oracle_vit.MAEEncoder(dim=768, depth=12, heads=12, patch=16)
+    model.eval()
+    state = dict(model.state_dict())
+    state["mask_token"] = torch.zeros(1, 1, 512)
+    state["decoder_pos_embed"] = torch.zeros(1, 197, 512)
+    state["decoder_embed.weight"] = torch.zeros(512, 768)
+    state["decoder_blocks.0.norm1.weight"] = torch.zeros(512)
+    state["decoder_pred.weight"] = torch.zeros(768, 512)
+    state["decoder_norm.weight"] = torch.zeros(512)
+    _stage(tmp_path, "mae_base", {"model": state})
+
+    handle = build_encoder("mae_base", pretrained=True,
+                           checkpoint_dir=str(tmp_path))
+    want = convert.torch_state_dict_to_flat(model.state_dict())
+    assert set(handle.params) == set(want)
+    _forward_parity(handle, model, hw=224, seed=4, atol=1e-3)
