@@ -125,3 +125,34 @@ class ShardedEmbedder:
             outputs.append(self._run_forward(device_chunk))
         # fetch at the end: dispatch stays ahead of the device
         return np.concatenate([np.asarray(o) for o in outputs])[:n]
+
+    def embed_local(self, frames):
+        """Multi-host bulk embedding: ``frames`` is THIS process's slice
+        of the dataset (see multihost.process_slice); returns the
+        embeddings for exactly those rows.
+
+        Each host stages only its local rows
+        (jax.make_array_from_process_local_data), the jitted forward
+        runs SPMD over the global mesh with zero cross-host collectives
+        (inference is embarrassingly data-parallel), and each host
+        fetches only its addressable output shards.  Single-process
+        fallback: plain embed_all."""
+        if jax.process_count() == 1:
+            return self.embed_all(frames)
+        from pvr_habitat_tpu.parallel import multihost
+
+        local_bs = self.batch_size // jax.process_count()
+        assert local_bs >= 1, (self.batch_size, jax.process_count())
+        n = frames.shape[0]
+        outputs = []
+        for i in range(0, n, local_bs):
+            chunk = frames[i:i + local_bs]
+            if chunk.shape[0] < local_bs:
+                pad = np.zeros((local_bs - chunk.shape[0],) + chunk.shape[1:],
+                               chunk.dtype)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            global_chunk = multihost.global_array_from_local(
+                self.mesh, chunk)
+            out = self._run_forward(global_chunk)
+            outputs.append(multihost.local_rows_from_global(out))
+        return np.concatenate(outputs)[:n]

@@ -27,6 +27,10 @@ def run(flags):
     if os.path.isfile(save_name):
         return save_name
 
+    from pvr_habitat_tpu.parallel import multihost
+
+    multihost.maybe_initialize(flags)
+
     np.random.seed(flags.run_id)
     random.seed(flags.run_id)
 

@@ -150,6 +150,10 @@ def _evaluate(runner, eval_envs, stat_keys, n_episodes, embedding=None):
 
 def run(flags, mode="precomputed"):
     flags = copy.copy(flags)
+    # Multi-host bring-up before any backend use (--coordinator).
+    from pvr_habitat_tpu.parallel import multihost
+
+    multihost.maybe_initialize(flags)
     # Fix seeds (reference: main_bc_2.py:28-31).
     np.random.seed(flags.run_id)
     random.seed(flags.run_id)

@@ -93,6 +93,14 @@ def build_parser():
     parser.add_argument("--max_episode_steps", type=int, default=0,
                         help="Override the simulator episode step limit "
                              "(0 = simulator default, 500 for nav tasks).")
+    parser.add_argument("--coordinator", type=str, default="",
+                        help="Multi-host: 'host:port' of rank 0 for "
+                             "jax.distributed.initialize (DCN). Empty = "
+                             "single-host.")
+    parser.add_argument("--num_processes", type=int, default=1,
+                        help="Multi-host: total process count.")
+    parser.add_argument("--process_id", type=int, default=0,
+                        help="Multi-host: this process's rank.")
     parser.add_argument("--data_on_device", type=str, default="auto",
                         choices=["auto", "always", "never"],
                         help="Keep the BC dataset resident in HBM and gather "
