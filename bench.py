@@ -2,7 +2,13 @@
 
 Measures the bulk-embedding hot path (BASELINE.md target: >= 10,000
 frames/sec/chip on v5e): uint8 64x64 frames -> fused matmul-resize
-preprocess -> BN-folded bf16 ResNet-50 -> 2048-d embeddings.
+preprocess -> BN-folded ResNet-50 -> 2048-d embeddings.
+
+Default path: W8A8 int8 serving (pure XLA, no Pallas — driver-safe),
+certified by an accuracy gate on real FakeNav data
+(tests/test_quantize.py::test_int8_bench_gate_on_fakenav_data:
+embedding cosine > 0.99 vs f32 AND downstream BC training-loss parity
+within 10%).  ``--fused off`` is the bf16 parity-grade path.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N/10000}
@@ -98,11 +104,12 @@ def main():
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--fused",
                         choices=["off", "v1", "v2", "hybrid", "int8"],
-                        default="off",
-                        help="Alternative compute paths: Pallas fused "
-                             "bottlenecks (v1/v2/hybrid) or W8A8 int8 "
-                             "(off = pure XLA bf16, the default "
-                             "driver-safe parity-grade path).")
+                        default="int8",
+                        help="Compute path. Default int8 = W8A8 XLA "
+                             "serving (accuracy-gated, see module "
+                             "docstring); off = bf16 parity-grade path; "
+                             "v1/v2/hybrid = Pallas fused-bottleneck "
+                             "experiments (lose to XLA, kept for A/B).")
     args = parser.parse_args()
 
     signal.signal(signal.SIGALRM, _watchdog)
@@ -134,6 +141,7 @@ def main():
         "value": round(fps, 1),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "path": args.fused,
     }))
 
 

@@ -4,6 +4,7 @@ error, NOT the 1e-3 parity contract)."""
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from pvr_habitat_tpu.models import resnet
@@ -155,3 +156,72 @@ def test_int8_resnet_accuracy():
     rel = np.linalg.norm(got - want, axis=-1) / np.linalg.norm(want, axis=-1)
     assert cos.min() > 0.99, cos
     assert rel.max() < 0.15, rel
+
+
+def test_int8_bench_gate_on_fakenav_data():
+    """Accuracy gate certifying int8 W8A8 as the bench.py DEFAULT
+    (round-1 VERDICT item 2): on REAL FakeNav frames (not noise), the
+    int8 embeddings must stay cosine > 0.99 to f32, and a BC policy
+    trained on int8 embeddings must reach teacher-forced training loss
+    within 10% of one trained on f32 embeddings (same data, same
+    seeds)."""
+    from pvr_habitat_tpu.data.embed_pipeline import ShardedEmbedder
+    from pvr_habitat_tpu.envs.environment import make_environment
+    from pvr_habitat_tpu.parallel import mesh as pmesh
+    from pvr_habitat_tpu.train import bc_step
+    from pvr_habitat_tpu.utils.flags import default_flags
+
+    # real frames: roll FakeNav with random actions
+    flags = default_flags(env="FakePointNav-hotel_0",
+                          embedding_name="resnet50",
+                          max_episode_steps=16)
+    env = make_environment(flags, None)
+    rng = np.random.RandomState(0)
+    frames, actions, dones = [], [], []
+    out = env.initial()
+    for _ in range(64):
+        frames.append(np.asarray(out["obs"])[0, 0])
+        a = rng.randint(0, 3)
+        actions.append(a)
+        out = env.step(np.array([[a]]))
+        dones.append(bool(out["done"][0, 0]))
+    env.close()
+    frames = np.stack(frames)          # (64, H, W, 3) uint8
+
+    # single-device mesh: the int8-vs-f32 numerics don't depend on
+    # sharding (covered by test_sharded_embedder_int8) and the 8-way
+    # SPMD resnet50 compile dominates CPU-CI time otherwise.
+    mesh = pmesh.make_mesh((1, 1), devices=jax.devices("cpu")[:1])
+    emb_q = ShardedEmbedder("resnet50", mesh=mesh, batch_size=16,
+                            pretrained=False, quantize=True)
+    emb_f = ShardedEmbedder("resnet50", mesh=mesh, batch_size=16,
+                            pretrained=False, compute_dtype=jnp.float32)
+    got = emb_q.embed_all(frames)
+    want = emb_f.embed_all(frames)
+    cos = (got * want).sum(-1) / (np.linalg.norm(got, axis=-1)
+                                  * np.linalg.norm(want, axis=-1))
+    assert cos.min() > 0.99, cos.min()
+
+    # downstream gate: BC training loss parity on the two embeddings
+    def train_loss(embeds):
+        t, b = 16, 4
+        batch = dict(
+            obs=embeds.reshape(t, b, -1).astype(np.float32),
+            action=np.asarray(actions, np.int32).reshape(t, b),
+            done=np.asarray(dones, bool).reshape(t, b),
+        )
+        train_flags = default_flags(learning_rate=1e-3)
+        state, opt = bc_step.create_train_state(
+            np.random.RandomState(1), (embeds.shape[1],), 3, train_flags,
+            max_epochs=60)
+        step = bc_step.make_train_step(opt, donate=False)
+        loss = None
+        for _ in range(60):
+            state, metrics = step(state, batch)
+            loss = float(metrics["loss"])
+        return loss
+
+    loss_q = train_loss(got)
+    loss_f = train_loss(want)
+    assert abs(loss_q - loss_f) <= 0.1 * max(loss_f, 1e-3), \
+        (loss_q, loss_f)
