@@ -38,13 +38,10 @@ VIT_B32 = dict(width=768, layers=12, heads=12, patch=32,
 
 def _clip_resblock(x, p, prefix, num_heads):
     y = cm.layer_norm(x, p, f"{prefix}.ln_1", eps=1e-5)
-    w = p[f"{prefix}.attn.in_proj_weight"]
-    b = p[f"{prefix}.attn.in_proj_bias"]
-    d = x.shape[-1]
     y = multihead_attention(
-        y, w[:d], w[d:2 * d], w[2 * d:],
+        y, p[f"{prefix}.attn.in_proj_weight"],
+        p[f"{prefix}.attn.in_proj_bias"],
         p[f"{prefix}.attn.out_proj.weight"],
-        b[:d], b[d:2 * d], b[2 * d:],
         p[f"{prefix}.attn.out_proj.bias"], num_heads)
     x = x + y
     y = cm.layer_norm(x, p, f"{prefix}.ln_2", eps=1e-5)

@@ -58,40 +58,67 @@ def sincos_pos_embed_2d(embed_dim, grid_size, cls_token=False):
 # -----------------------------------------------------------------------------
 
 
-def multihead_attention(x, wq, wk, wv, wo, bq, bk, bv, bo, num_heads,
+def multihead_attention(x, wqkv, bqkv, wo, bo, num_heads,
                         precision=None):
-    """x: (N, L, D).  Weights in torch (out, in) layout."""
+    """x: (N, L, D).  Weights in torch (out, in) layout; ``wqkv``/
+    ``bqkv`` are the fused (3D, D)/(3D,) projection as timm
+    ``attn.qkv`` / torch MHA ``in_proj_weight`` store them.
+
+    The projection deliberately runs as THREE einsums over weight
+    slices, not one (N*L, D) x (D, 3D) GEMM: XLA fuses the three
+    same-LHS einsums into one activation read already, and the fused
+    GEMM variant forces a materialized (N, L, 3, H, hd) layout that
+    costs 24% end-to-end (measured mae_base 2.60k -> 1.96k f/s — a
+    documented negative result, docs/DESIGN.md)."""
     n, l, d = x.shape
     head = d // num_heads
     prec = cm._precision_for(x, precision)
-
-    def proj(w, b):
-        y = jnp.einsum("nld,ed->nle", x, w.astype(x.dtype), precision=prec)
-        return y + b.astype(x.dtype)
-
-    q = proj(wq, bq).reshape(n, l, num_heads, head)
-    k = proj(wk, bk).reshape(n, l, num_heads, head)
-    v = proj(wv, bv).reshape(n, l, num_heads, head)
+    wqkv = wqkv.astype(x.dtype)
+    bqkv = bqkv.astype(x.dtype)
     from pvr_habitat_tpu.ops.pallas.attention import (
         fused_attention, pallas_attention_enabled)
-    if x.dtype == jnp.bfloat16 and l >= 128 and \
-            jax.default_backend() == "tpu" and pallas_attention_enabled():
-        # bf16 fast path: Pallas fused attention keeps the (L, L)
-        # scores in VMEM (measured 1.3x vs the einsum core at ViT-B
-        # shapes incl. layout transposes; a wash at short sequences
-        # like CLIP-B/32's 50 tokens — see docs/DESIGN.md).
-        # Kill switch: PVR_TPU_DISABLE_PALLAS_ATTENTION=1.
+    use_pallas = (x.dtype == jnp.bfloat16 and l >= 128
+                  and jax.default_backend() == "tpu"
+                  and pallas_attention_enabled())
 
+    def proj(w, b):
+        return jnp.einsum("nld,ed->nle", x, w, precision=prec) + b
+
+    # On the einsum path, 1/sqrt(head) folds into the q weight/bias at
+    # trace time — saves an elementwise pass over the (N, L, D) q
+    # tensor.  The Pallas kernel scales internally, so q stays raw
+    # there.
+    scale = jnp.asarray(1.0 / np.sqrt(head), x.dtype)
+    wq, bq = ((wqkv[:d], bqkv[:d]) if use_pallas
+              else (wqkv[:d] * scale, bqkv[:d] * scale))
+    q = proj(wq, bq).reshape(n, l, num_heads, head)
+    k = proj(wqkv[d:2 * d], bqkv[d:2 * d]).reshape(n, l, num_heads, head)
+    v = proj(wqkv[2 * d:], bqkv[2 * d:]).reshape(n, l, num_heads, head)
+    if use_pallas:
+        # Opt-in Pallas path (PVR_TPU_ENABLE_PALLAS_ATTENTION=1): kept
+        # the (L, L) scores in VMEM and won 1.3x on the Nov-2025
+        # libtpu; after the Jan-2026 libtpu upgrade XLA's einsum core
+        # overtook it (2.60k vs 2.47k f/s mae_base), so the einsum core
+        # is the default again — see docs/DESIGN.md.
         out = fused_attention(jnp.transpose(q, (0, 2, 1, 3)),
                               jnp.transpose(k, (0, 2, 1, 3)),
                               jnp.transpose(v, (0, 2, 1, 3)))
         out = jnp.transpose(out, (0, 2, 1, 3))
     else:
-        scale = jnp.asarray(1.0 / np.sqrt(head), x.dtype)
-        logits = jnp.einsum("nqhd,nkhd->nhqk", q * scale, k,
-                            precision=prec)
-        probs = jax.nn.softmax(logits.astype(jnp.float32),
-                               axis=-1).astype(x.dtype)
+        logits = jnp.einsum("nqhd,nkhd->nhqk", q, k, precision=prec)
+        if x.dtype == jnp.bfloat16:
+            # bf16 fast path: keep the (L, L) scores in bf16 — the f32
+            # softmax round-trips ~0.5 GB/block through HBM at ViT-B
+            # shapes.  Max and the normalizer accumulate in f32 for
+            # stability; probs themselves are <= 1 so bf16 resolution
+            # is the path's native accuracy.
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            denom = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+            probs = (e * (1.0 / denom).astype(x.dtype))
+        else:
+            probs = jax.nn.softmax(logits.astype(jnp.float32),
+                                   axis=-1).astype(x.dtype)
         out = jnp.einsum("nhqk,nkhd->nqhd", probs, v, precision=prec)
     out = out.reshape(n, l, d)
     out = jnp.einsum("nld,ed->nle", out, wo.astype(x.dtype), precision=prec)
@@ -101,14 +128,10 @@ def multihead_attention(x, wq, wk, wv, wo, bq, bk, bv, bo, num_heads,
 def timm_block(x, p, prefix, num_heads, eps=1e-6, gelu=cm.gelu):
     """timm ViT Block: pre-LN attention + MLP with residuals."""
     y = cm.layer_norm(x, p, f"{prefix}.norm1", eps=eps)
-    qkv_w = p[f"{prefix}.attn.qkv.weight"]
-    qkv_b = p[f"{prefix}.attn.qkv.bias"]
-    d = x.shape[-1]
-    wq, wk, wv = qkv_w[:d], qkv_w[d:2 * d], qkv_w[2 * d:]
-    bq, bk, bv = qkv_b[:d], qkv_b[d:2 * d], qkv_b[2 * d:]
     y = multihead_attention(
-        y, wq, wk, wv, p[f"{prefix}.attn.proj.weight"], bq, bk, bv,
-        p[f"{prefix}.attn.proj.bias"], num_heads)
+        y, p[f"{prefix}.attn.qkv.weight"], p[f"{prefix}.attn.qkv.bias"],
+        p[f"{prefix}.attn.proj.weight"], p[f"{prefix}.attn.proj.bias"],
+        num_heads)
     x = x + y
     y = cm.layer_norm(x, p, f"{prefix}.norm2", eps=eps)
     n, l, _ = y.shape

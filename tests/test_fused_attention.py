@@ -25,14 +25,17 @@ def test_fused_attention_matches_einsum():
                                atol=1e-5, rtol=1e-5)
 
 
-def test_pallas_attention_kill_switch(monkeypatch):
+def test_pallas_attention_routing_flags(monkeypatch):
     from pvr_habitat_tpu.ops.pallas.attention import \
         pallas_attention_enabled
 
     monkeypatch.delenv("PVR_TPU_DISABLE_PALLAS_ATTENTION", raising=False)
-    assert pallas_attention_enabled()
+    monkeypatch.delenv("PVR_TPU_ENABLE_PALLAS_ATTENTION", raising=False)
+    assert not pallas_attention_enabled()   # default: einsum core
+    monkeypatch.setenv("PVR_TPU_ENABLE_PALLAS_ATTENTION", "1")
+    assert pallas_attention_enabled()       # opt-in
     monkeypatch.setenv("PVR_TPU_DISABLE_PALLAS_ATTENTION", "1")
-    assert not pallas_attention_enabled()
+    assert not pallas_attention_enabled()   # kill switch wins
 
 
 def test_vit_forward_unaffected_by_kill_switch(monkeypatch):

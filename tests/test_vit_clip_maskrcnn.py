@@ -116,3 +116,23 @@ def test_maskrcnn_param_names_cover_init():
             if not k.endswith("num_batches_tracked")}
     ours = set(maskrcnn.init_params(np.random.RandomState(0)))
     assert ours == want, ours ^ want
+
+
+def test_mae_bf16_softmax_accuracy():
+    """The bf16 fast path's attention softmax runs in bf16 (f32 max/
+    normalizer) — embeddings must stay cosine > 0.995 to the f32 parity
+    path (see multihead_attention)."""
+    model = oracle_vit.MAEEncoder(img_size=224, patch=16, dim=96, depth=2,
+                                  heads=4)
+    model.eval()
+    params = convert.torch_state_dict_to_flat(model.state_dict())
+    x = _x(4)
+    want = np.asarray(vit.mae_apply(params, jnp.asarray(x), depth=2,
+                                    num_heads=4, patch=16))
+    params16 = {k: v.astype(jnp.bfloat16) for k, v in params.items()}
+    got = np.asarray(vit.mae_apply(params16, jnp.asarray(x, jnp.bfloat16),
+                                   depth=2, num_heads=4, patch=16)
+                     ).astype(np.float32)
+    cos = (got * want).sum(-1) / (np.linalg.norm(got, axis=-1)
+                                  * np.linalg.norm(want, axis=-1))
+    assert cos.min() > 0.995, cos
