@@ -140,9 +140,13 @@ def _shard_state(mesh, state):
 
 def _evaluate(runner, eval_envs, stat_keys, n_episodes, embedding=None):
     if len(eval_envs) > 1 and embedding is not None:
-        # raw-frame envs; one shared encoder dispatch per tick
-        return batched_test_embedded(runner, eval_envs, embedding,
-                                     stat_keys, n_episodes)
+        # raw-frame envs; preprocess+encoder+policy fused into ONE
+        # device dispatch per tick (see FusedPolicyRunner).
+        from pvr_habitat_tpu.train.evaluate import (FusedPolicyRunner,
+                                                    batched_test_fused)
+
+        fused = FusedPolicyRunner(runner, embedding)
+        return batched_test_fused(fused, eval_envs, stat_keys, n_episodes)
     if len(eval_envs) > 1:
         return batched_test(runner, eval_envs, stat_keys, n_episodes)
     return test(runner, eval_envs[0], stat_keys, n_episodes)

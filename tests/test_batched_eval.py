@@ -105,3 +105,33 @@ def test_batched_eval_per_env_quotas():
                                   n_episodes=4)
     # quota 2 each: returns must be two 2.0s and two 10.0s
     assert sorted(stats["episode_return"]) == [2.0, 2.0, 10.0, 10.0]
+
+
+def test_fused_eval_matches_embedded():
+    """FusedPolicyRunner (one dispatch/tick) must produce the same
+    episodes as the embed-then-step path (same seeds, f32 CPU)."""
+    from pvr_habitat_tpu.models.embedding_net import EmbeddingNet
+    from pvr_habitat_tpu.train.evaluate import (
+        FusedPolicyRunner, batched_test_embedded, batched_test_fused)
+
+    embedding = EmbeddingNet("random", pretrained=False, run_id=1)
+    runner = _runner(embedding.out_size, seed=2)
+    flags = default_flags(env="FakePointNav-room_0",
+                          embedding_name="random", max_episode_steps=20)
+
+    envs_a = [make_environment(flags, None, actor_id=i + 1)
+              for i in range(2)]
+    want = batched_test_embedded(runner, envs_a, embedding,
+                                 ["episode_return"], n_episodes=4)
+    for env in envs_a:
+        env.close()
+
+    envs_b = [make_environment(flags, None, actor_id=i + 1)
+              for i in range(2)]
+    fused = FusedPolicyRunner(runner, embedding)
+    got = batched_test_fused(fused, envs_b, ["episode_return"],
+                             n_episodes=4)
+    for env in envs_b:
+        env.close()
+    np.testing.assert_allclose(got["episode_return"],
+                               want["episode_return"], atol=1e-5)
