@@ -106,12 +106,25 @@ def resize_output_size(in_hw, size):
 
 
 def resize(x, out_hw, method="bilinear", antialias=False,
-           precision=jax.lax.Precision.HIGHEST):
-    """Resize NHWC float images via two MXU matmuls."""
+           precision=jax.lax.Precision.HIGHEST, crop=None):
+    """Resize NHWC float images via two MXU matmuls.
+
+    ``crop``: optional center-crop size folded INTO the resize — a
+    center crop after a resize selects output rows/columns, i.e. rows
+    of the interpolation matrices, so dropping those rows up front is
+    bit-identical and skips ~23% of the work at the 256->224 default
+    geometry (and shrinks the intermediates)."""
     n, h, w, c = x.shape
     oh, ow = out_hw
-    wh = jnp.asarray(resize_matrix(h, oh, method, antialias), x.dtype)
-    ww = jnp.asarray(resize_matrix(w, ow, method, antialias), x.dtype)
+    wh = resize_matrix(h, oh, method, antialias)
+    ww = resize_matrix(w, ow, method, antialias)
+    if crop is not None:
+        assert oh >= crop and ow >= crop, (out_hw, crop)
+        top, left = (oh - crop) // 2, (ow - crop) // 2
+        wh = wh[top:top + crop]
+        ww = ww[left:left + crop]
+    wh = jnp.asarray(wh, x.dtype)
+    ww = jnp.asarray(ww, x.dtype)
     if x.dtype == jnp.bfloat16:
         precision = jax.lax.Precision.DEFAULT
     x = jnp.einsum("ab,nbwc->nawc", wh, x, precision=precision)
@@ -187,10 +200,18 @@ class Preprocess:
             # deliberately fix; documented behavior divergence.
             x = x[..., ::-1]
         out_hw = resize_output_size(x.shape[1:3], self.resize_size)
-        x = resize(x, out_hw, self.method, self.antialias, precision)
-        if was_uint8 and self.quantize:
-            x = quantize_uint8(x)
-        x = center_crop(x, self.crop_size)
+        if out_hw[0] >= self.crop_size and out_hw[1] >= self.crop_size:
+            # center crop folded into the resize matrices (exact; the
+            # uint8 quantize is elementwise, so it commutes with crop)
+            x = resize(x, out_hw, self.method, self.antialias, precision,
+                       crop=self.crop_size)
+            if was_uint8 and self.quantize:
+                x = quantize_uint8(x)
+        else:
+            x = resize(x, out_hw, self.method, self.antialias, precision)
+            if was_uint8 and self.quantize:
+                x = quantize_uint8(x)
+            x = center_crop(x, self.crop_size)
         if self.scale_to_unit:
             x = x / jnp.asarray(255.0, x.dtype)
         mean = jnp.asarray(self.mean, dtype=x.dtype)

@@ -114,3 +114,18 @@ def test_resize_output_size_shorter_side():
     assert im.resize_output_size((480, 640), 256) == (256, 341)
     assert im.resize_output_size((640, 480), 256) == (341, 256)
     assert im.resize_output_size((64, 64), (100, 50)) == (100, 50)
+
+
+def test_crop_folded_resize_is_exact():
+    """Folding the center crop into the resize matrices applies the
+    same interpolation weights; only GEMM accumulation order may differ
+    (observed ~1e-5 on f32)."""
+    from pvr_habitat_tpu.ops.image import center_crop, resize
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, 256, (3, 64, 64, 3)).astype(np.float32))
+    for method in ("bilinear", "bicubic"):
+        want = center_crop(resize(x, (256, 256), method), 224)
+        got = resize(x, (256, 256), method, crop=224)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   rtol=1e-5, atol=1e-3)
