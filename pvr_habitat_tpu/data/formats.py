@@ -96,38 +96,77 @@ def save_jpeg_trajectory(dir_path, traj_idx, obs_list, true_state,
             os.path.join(dir_path, f"{traj_idx}_{i}.jpeg"))
 
 
-def read_png_trajectories(dir_path, embed_fn=None, n_trajectories=-1,
-                          max_steps=500, hw=(64, 64)):
-    """PNG-dir reader (reference: save_embedded_obs.py:50-93): per-frame
-    obs (optionally embedded) with the goal frame appended.  Frames are
-    decoded in batch by the native multithreaded codec (cv2 fallback),
-    keeping cv2.imread's BGR channel convention for file round-trip
-    parity with the reference."""
+def _iter_png_trajectories(dir_path, n_trajectories, max_steps, hw):
+    """Yields (meta, frames, goal_frame|None) per trajectory, decoding
+    each frame batch with the native multithreaded codec."""
     from pvr_habitat_tpu.data import native
 
-    data = dict(obs=[], action=[], reward=[], done=[], true_state=[])
-    if n_trajectories == -1:
-        n_trajectories = 100000
     h, w = hw
     for t in range(n_trajectories):
         meta_path = os.path.join(dir_path, f"{t}.pickle")
         if not os.path.isfile(meta_path):
-            break
+            return
         meta = load_pickle(meta_path)
-        for key in ("action", "reward", "done", "true_state"):
-            data[key].append(meta[key])
-
         n_frames = native.count_frames(dir_path, t, "png", max_steps)
         paths = [os.path.join(dir_path, f"{t}_{s}.png")
                  for s in range(n_frames)]
         frames = native.decode_batch(paths, h, w, kind="png", bgr=True)
-
         goal_path = os.path.join(dir_path, f"{t}_goal.png")
         goal = None
         if os.path.isfile(goal_path):
             goal = native.decode_batch([goal_path], h, w, "png", True)[0]
-            if embed_fn is not None:
-                goal = np.asarray(embed_fn(goal[None])).reshape(-1)
+        yield meta, frames, goal
+
+
+def _prefetched(iterator, depth=2):
+    """Run `iterator` on a producer thread with a bounded queue so the
+    NEXT trajectory's C++ decode overlaps the CURRENT one's device
+    embed (the codec releases the GIL inside libpng/libjpeg)."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    END = object()
+
+    def produce():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(END)
+        except BaseException as exc:  # surface decode errors downstream
+            q.put(exc)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def read_png_trajectories(dir_path, embed_fn=None, n_trajectories=-1,
+                          max_steps=500, hw=(64, 64), prefetch=2):
+    """PNG-dir reader (reference: save_embedded_obs.py:50-93): per-frame
+    obs (optionally embedded) with the goal frame appended.  Frames are
+    decoded in batch by the native multithreaded codec (cv2 fallback),
+    keeping cv2.imread's BGR channel convention for file round-trip
+    parity with the reference.  ``prefetch`` trajectories are decoded
+    ahead on a producer thread, pipelining host decode with device
+    embedding (0 = synchronous)."""
+    data = dict(obs=[], action=[], reward=[], done=[], true_state=[])
+    if n_trajectories == -1:
+        n_trajectories = 100000
+    stream = _iter_png_trajectories(dir_path, n_trajectories, max_steps, hw)
+    if prefetch:
+        stream = _prefetched(stream, depth=prefetch)
+    for meta, frames, goal in stream:
+        for key in ("action", "reward", "done", "true_state"):
+            data[key].append(meta[key])
+        n_frames = frames.shape[0]
+        if goal is not None and embed_fn is not None:
+            goal = np.asarray(embed_fn(goal[None])).reshape(-1)
         if embed_fn is not None:
             obs = np.asarray(embed_fn(frames)).reshape(n_frames, -1)
         else:

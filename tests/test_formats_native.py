@@ -99,3 +99,22 @@ def test_jpeg_trajectory_layout(tmp_path):
     with open(tmp_path / "2.pickle", "rb") as fh:
         pose = pickle.load(fh)
     assert pose.shape == (5, 8)  # position + orientation only
+
+
+def test_read_png_prefetch_matches_sync(tmp_path):
+    """The prefetched (threaded-decode) reader must return exactly the
+    synchronous reader's output, and propagate decode errors."""
+    for t in range(3):
+        obs, action, reward, done, true_state = _fake_traj(channels=6)
+        formats.save_png_trajectory(str(tmp_path), t, obs, action,
+                                    reward, done, true_state)
+    a = formats.read_png_trajectories(str(tmp_path), prefetch=2)
+    b = formats.read_png_trajectories(str(tmp_path), prefetch=0)
+    for key in a:
+        np.testing.assert_array_equal(a[key], b[key])
+
+    # decode error from the producer thread surfaces in the consumer
+    bad = tmp_path / "1_2.png"
+    bad.write_bytes(b"not a png")
+    with pytest.raises(Exception):
+        formats.read_png_trajectories(str(tmp_path), prefetch=2)
