@@ -69,29 +69,86 @@ class FusedPolicyRunner:
                      if compute_dtype == jnp.bfloat16
                      else jax.lax.Precision.HIGHEST)
 
-        def step(pparams, stats, eparams, frames, done, core_state):
+        def embed(eparams, frames):
             x = handle.preprocess(frames, precision=precision,
                                   out_dtype=compute_dtype)
             emb = handle.apply_fn(eparams, x, train=False)
-            k = done.shape[1]
-            obs = emb.reshape(k, -1).astype(jnp.float32)[None]
+            return emb.reshape(emb.shape[0], -1).astype(jnp.float32)
+
+        def policy_step(pparams, stats, obs, done, core_state):
             outputs, new_state, _ = policy_mod.apply_policy(
                 pparams, stats, dict(obs=obs, done=done), core_state,
                 batch_norm=batch_norm, train=False)
             return outputs["action"], new_state
 
+        def step(pparams, stats, eparams, frames, done, core_state):
+            k = done.shape[1]
+            obs = embed(eparams, frames).reshape(1, k, -1)
+            return policy_step(pparams, stats, obs, done, core_state)
+
+        def step_cached_goal(pparams, stats, eparams, frames, goal_emb,
+                             done, core_state):
+            """ImageNav fast tick: embed only the K current frames and
+            concatenate the CACHED goal embeddings (goals change only
+            after a done -> those ticks take the full ``step``)."""
+            k = done.shape[1]
+            emb = embed(eparams, frames)                    # (K, E)
+            obs = jnp.concatenate([emb, goal_emb],
+                                  axis=-1).reshape(1, k, -1)
+            action, new_state = policy_step(pparams, stats, obs, done,
+                                            core_state)
+            return action, new_state
+
+        def step_with_goals(pparams, stats, eparams, frames, done,
+                            core_state):
+            """Full ImageNav tick: embeds (frame, goal) pairs and also
+            returns the K goal embeddings for caching."""
+            k = done.shape[1]
+            emb = embed(eparams, frames).reshape(k, 2, -1)  # env-major
+            goal_emb = emb[:, 1]
+            obs = emb.reshape(1, k, -1)
+            action, new_state = policy_step(pparams, stats, obs, done,
+                                            core_state)
+            return action, new_state, goal_emb
+
         self._eparams = eparams
         self._step = jax.jit(step)
+        self._step_cached_goal = jax.jit(step_cached_goal)
+        self._step_with_goals = jax.jit(step_with_goals)
+        self._goal_emb = None
 
     def initial_state(self, batch_size=1):
+        self._goal_emb = None
         return policy_mod.initial_state(batch_size)
 
-    def tick(self, frames, done, core_state):
+    def tick(self, frames, done, core_state, n_frames=1):
         """frames: (K*n_frames, H, W, 3) uint8, env-major frame order;
-        done: (1, K).  Returns (actions (K,), new_core_state)."""
-        action, new_state = self._step(self.params, self.batch_stats,
-                                       self._eparams, jnp.asarray(frames),
-                                       jnp.asarray(done), core_state)
+        done: (1, K).  Returns (actions (K,), new_core_state).
+
+        For ImageNav (n_frames=2, frame order [obs_i, goal_i]...), goal
+        embeddings are cached between ticks and recomputed only on
+        ticks where any env restarted (goals change only via the
+        auto-randomize on done) — exact, and halves steady-state
+        encoder work."""
+        done = np.asarray(done)
+        frames = np.asarray(frames)
+        if n_frames == 2:
+            if self._goal_emb is None or done.any():
+                action, new_state, goal_emb = self._step_with_goals(
+                    self.params, self.batch_stats, self._eparams,
+                    jnp.asarray(frames), jnp.asarray(done), core_state)
+                self._goal_emb = goal_emb
+            else:
+                obs_frames = frames.reshape(
+                    -1, 2, *frames.shape[1:])[:, 0]
+                action, new_state = self._step_cached_goal(
+                    self.params, self.batch_stats, self._eparams,
+                    jnp.asarray(obs_frames), self._goal_emb,
+                    jnp.asarray(done), core_state)
+        else:
+            action, new_state = self._step(
+                self.params, self.batch_stats, self._eparams,
+                jnp.asarray(frames), jnp.asarray(done), core_state)
         return np.asarray(action).reshape(-1), new_state
 
 
@@ -113,7 +170,8 @@ def batched_test_fused(fused_runner, raw_envs, stat_keys, n_episodes=100):
             frames.extend(np.split(img, n_frames, axis=-1))
         done = np.concatenate([o["done"] for o in outs], axis=1)
         actions, core_state = fused_runner.tick(np.stack(frames), done,
-                                                core_state)
+                                                core_state,
+                                                n_frames=n_frames)
         for i, env in enumerate(raw_envs):
             outs[i] = env.step(actions[i])
             if outs[i]["done"] and counted[i] < quotas[i]:

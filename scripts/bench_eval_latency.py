@@ -49,7 +49,8 @@ def measure(k, ticks):
             img = np.asarray(out["obs"])[0, 0]
             frames.extend(np.split(img, 2, axis=-1))
         done = np.concatenate([o["done"] for o in outs], axis=1)
-        actions, state = fused.tick(np.stack(frames), done, state)
+        actions, state = fused.tick(np.stack(frames), done, state,
+                                    n_frames=2)
         return [env.step(actions[i]) for i, env in enumerate(envs)], state
 
     for _ in range(10):  # warmup: compile embed + policy step

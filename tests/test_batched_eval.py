@@ -135,3 +135,33 @@ def test_fused_eval_matches_embedded():
         env.close()
     np.testing.assert_allclose(got["episode_return"],
                                want["episode_return"], atol=1e-5)
+
+
+def test_fused_eval_goal_cache_matches_embedded_imagenav():
+    """ImageNav fused eval with the goal-embedding cache must match the
+    embed-every-tick path exactly (goals only change after a done)."""
+    from pvr_habitat_tpu.models.embedding_net import EmbeddingNet
+    from pvr_habitat_tpu.train.evaluate import (
+        FusedPolicyRunner, batched_test_embedded, batched_test_fused)
+
+    embedding = EmbeddingNet("random", pretrained=False, run_id=1)
+    runner = _runner(2 * embedding.out_size, seed=4)
+    flags = default_flags(env="FakeImageNav-room_0",
+                          embedding_name="random", max_episode_steps=15)
+
+    envs_a = [make_environment(flags, None, actor_id=i + 1)
+              for i in range(2)]
+    want = batched_test_embedded(runner, envs_a, embedding,
+                                 ["episode_return"], n_episodes=4)
+    for env in envs_a:
+        env.close()
+
+    envs_b = [make_environment(flags, None, actor_id=i + 1)
+              for i in range(2)]
+    fused = FusedPolicyRunner(runner, embedding)
+    got = batched_test_fused(fused, envs_b, ["episode_return"],
+                             n_episodes=4)
+    for env in envs_b:
+        env.close()
+    np.testing.assert_allclose(got["episode_return"],
+                               want["episode_return"], atol=1e-5)
