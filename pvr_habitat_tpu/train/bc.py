@@ -265,6 +265,17 @@ def run(flags, mode="precomputed"):
     if mesh is None:
         train_data, on_device = sampler.maybe_device_put(
             train_data, mode=flags.data_on_device)
+    elif flags.data_on_device != "never":
+        # Mesh path: replicate the (small, embedded) dataset across
+        # devices so the unroll gather runs inside the sharded step —
+        # one dispatch per epoch, no per-epoch host gather / h2d puts.
+        if sampler.dataset_nbytes(train_data) <= 2 * 1024 ** 3 or \
+                flags.data_on_device == "always":
+            from pvr_habitat_tpu.parallel import mesh as pmesh
+
+            train_data = pmesh.replicate(mesh, {
+                k: jnp.asarray(v) for k, v in train_data.items()})
+            on_device = True
 
     stat_keys = list(stats_util.STAT_KEYS)
 
@@ -296,11 +307,12 @@ def run(flags, mode="precomputed"):
     # One device dispatch per epoch when the dataset is HBM-resident:
     # the unroll gather happens inside the jitted step (per-dispatch
     # tunnel latency would otherwise dominate the small BC step).
-    fused_gather = mesh is None and on_device
+    fused_gather = on_device
     if fused_gather:
         step_fn = bc_step.make_train_step_fused_gather(
             opt, flags.unroll_length, batch_norm=flags.batch_norm,
-            conv_policy=conv_policy, max_grad_norm=flags.max_grad_norm)
+            conv_policy=conv_policy, max_grad_norm=flags.max_grad_norm,
+            mesh=mesh)
     else:
         step_fn = bc_step.make_train_step(
             opt, batch_norm=flags.batch_norm, conv_policy=conv_policy,

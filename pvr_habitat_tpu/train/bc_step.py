@@ -75,11 +75,17 @@ def make_train_step(opt, *, batch_norm=False, conv_policy=False,
 
 def make_train_step_fused_gather(opt, unroll_length, *, batch_norm=False,
                                  conv_policy=False, max_grad_norm=40.0,
-                                 donate=True):
+                                 donate=True, mesh=None):
     """Single-dispatch variant: the unroll gather runs INSIDE the jitted
     step, so one device call per epoch covers gather+forward+backward+
     update (the per-dispatch tunnel latency would otherwise dominate the
     small BC step).  ``data`` is the device-resident dataset dict.
+
+    With ``mesh``, the dataset is replicated across devices (BC datasets
+    are small — embeddings, not frames) and the gathered batch is
+    sharding-constrained to B-over-'data', so each device gathers only
+    its own DP lanes locally — no host gather, no per-epoch h2d puts,
+    still one dispatch per epoch on a multi-chip mesh.
 
     Returns jitted step(state, data, starts) -> (state, metrics)."""
     apply_fn = (policy_mod.apply_conv_policy if conv_policy
@@ -90,6 +96,15 @@ def make_train_step_fused_gather(opt, unroll_length, *, batch_norm=False,
         idx = (starts[None, :]
                + jnp.arange(unroll_length)[:, None]) % n
         batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from pvr_habitat_tpu.parallel import mesh as pmesh
+
+            batch = {
+                k: jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, pmesh.shard_batch_spec(v.ndim)))
+                for k, v in batch.items()}
         return _step_body(state, batch, opt, apply_fn, batch_norm,
                           max_grad_norm)
 

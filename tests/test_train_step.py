@@ -108,3 +108,48 @@ def test_gather_unrolls_wraparound():
     out = sampler.gather_unrolls(data, [7], 5)
     np.testing.assert_array_equal(
         np.asarray(out["obs"]).ravel(), [7, 8, 9, 0, 1])
+
+
+def test_fused_gather_on_mesh_matches_host_gather():
+    """The mesh fused-gather step (dataset replicated, batch gathered
+    in-step and constrained to DP lanes) must produce the same loss and
+    update as host-gather + shard_batch."""
+    from pvr_habitat_tpu.parallel import mesh as pmesh
+
+    rng = np.random.RandomState(0)
+    t, b, obs_size, num_actions, n = 6, 8, 16, 3, 64
+    flags = default_flags(learning_rate=1e-3)
+    data = dict(
+        obs=rng.randn(n, obs_size).astype(np.float32),
+        action=rng.randint(0, num_actions, size=n).astype(np.int32),
+        done=(rng.rand(n) < 0.1),
+    )
+    starts = np.array([0, 7, 14, 21, 28, 35, 42, 49], np.int32)
+    mesh = pmesh.make_mesh((4, 2))
+
+    def fresh_state():
+        state, opt = bc_step.create_train_state(
+            np.random.RandomState(1), (obs_size,), num_actions, flags,
+            max_epochs=10, seed=3)
+        return state, opt
+
+    # host gather + shard
+    state_a, opt_a = fresh_state()
+    batch = sampler.gather_unrolls_host(data, starts, t)
+    batch = pmesh.shard_batch(mesh, batch)
+    step_a = bc_step.make_train_step(opt_a, donate=False)
+    state_a, metrics_a = step_a(state_a, batch)
+
+    # replicated dataset + in-step gather
+    state_b, opt_b = fresh_state()
+    dev_data = pmesh.replicate(mesh, {k: jnp.asarray(v)
+                                      for k, v in data.items()})
+    step_b = bc_step.make_train_step_fused_gather(
+        opt_b, t, donate=False, mesh=mesh)
+    state_b, metrics_b = step_b(state_b, dev_data, jnp.asarray(starts))
+
+    np.testing.assert_allclose(float(metrics_a["loss"]),
+                               float(metrics_b["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(state_a.params["policy.weight"]),
+        np.asarray(state_b.params["policy.weight"]), atol=1e-6)
