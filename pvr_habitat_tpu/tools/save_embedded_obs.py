@@ -58,7 +58,10 @@ def run(flags):
             n_trajectories=flags.n_trajectories)
         print("   passing observations through embedding model")
         batch = flags.embed_batch_size or flags.batch_size
-        obs = _embed_in_minibatches(embedding_model, data["obs"], batch)
+        if getattr(flags, "sharded_embed", False):
+            obs = _embed_sharded(flags, data["obs"], batch)
+        else:
+            obs = _embed_in_minibatches(embedding_model, data["obs"], batch)
         n = obs.shape[0]
         data = dict(obs=obs, action=data["action"][:n],
                     reward=data["reward"][:n], done=data["done"][:n],
@@ -75,11 +78,52 @@ def run(flags):
     return save_name
 
 
+def _embed_sharded(flags, frames, batch_size):
+    """ShardedEmbedder path (--sharded_embed): frames shard over the
+    mesh 'data' axis; under --coordinator each host embeds only its
+    process_slice and the slices are allgathered for the single output
+    pickle (data/embed_pipeline.py, parallel/multihost.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pvr_habitat_tpu.data.embed_pipeline import ShardedEmbedder
+    from pvr_habitat_tpu.parallel import mesh as pmesh
+    from pvr_habitat_tpu.parallel import multihost
+
+    mesh = pmesh.make_mesh(pmesh.parse_mesh_shape(flags.mesh_shape))
+    dtype = jnp.bfloat16 if flags.compute_dtype == "bfloat16" \
+        else jnp.float32
+    embedder = ShardedEmbedder(
+        flags.embedding_name, mesh=mesh, batch_size=batch_size,
+        compute_dtype=dtype, pretrained=flags.pretrained_embedding,
+        checkpoint_dir=flags.data_path, run_id=flags.run_id)
+    frames = np.asarray(frames)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        start, stop = multihost.process_slice(frames.shape[0])
+        local = embedder.embed_local(frames[start:stop])
+        # ragged per-host slices -> pad to the max, allgather, trim
+        counts = multihost_utils.process_allgather(
+            np.asarray([local.shape[0]], np.int32)).reshape(-1)
+        pad_to = int(counts.max())
+        padded = np.zeros((pad_to, local.shape[1]), np.float32)
+        padded[:local.shape[0]] = local
+        gathered = multihost_utils.process_allgather(padded)
+        parts = [gathered[i][:counts[i]] for i in range(len(counts))]
+        return np.concatenate(parts, axis=0)
+    return embedder.embed_all(frames)
+
+
 def build_tool_parser():
     parser = build_parser()
     parser.add_argument("--n_trajectories", type=int, default=-1)
     parser.add_argument("--source", type=str, default="png",
                         choices=["png", "pickle"])
+    parser.add_argument("--sharded_embed", action="store_true",
+                        help="Embed via the mesh-sharded pipeline "
+                             "(multi-chip; with --coordinator, each "
+                             "host embeds its slice of the dataset).")
     return parser
 
 

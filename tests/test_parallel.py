@@ -138,3 +138,45 @@ def test_expand_args_xpid_and_max_frames():
     assert len(out) == 2
     assert out[0]["max_frames"] == 2000000  # PointNav budget
     assert "ri=1" in out[0]["xpid"] or "ri=1" in out[0]["xpid"]
+
+
+def test_sharded_embed_cli_matches_default(tmp_path):
+    """save_embedded_obs --sharded_embed (mesh pipeline) writes the
+    same embedded pickle as the default minibatch path."""
+    import shutil
+
+    from pvr_habitat_tpu.data import formats
+    from pvr_habitat_tpu.tools.save_embedded_obs import (build_tool_parser,
+                                                         run as embed_run)
+    from pvr_habitat_tpu.tools.save_opt_trajectories import gen_data_habitat
+    from pvr_habitat_tpu.utils.flags import default_flags
+
+    env = "FakePointNav-office_0"
+    gen = default_flags(env=env, save_path=str(tmp_path),
+                        max_episode_steps=20)
+    gen.n_trajectories = 2
+    gen_data_habitat(gen)
+
+    dirs = {}
+    for name in ("a", "b"):
+        d = tmp_path / name
+        d.mkdir()
+        shutil.copy(formats.raw_path(str(tmp_path), env),
+                    formats.raw_path(str(d), env))
+        dirs[name] = str(d)
+
+    def embed(data_path, sharded):
+        args = ["--env", env, "--data_path", data_path,
+                "--embedding_name", "random", "--source", "pickle",
+                "--batch_size", "16"]
+        if sharded:
+            args.append("--sharded_embed")
+        flags = build_tool_parser().parse_args(args)
+        return embed_run(flags)
+
+    out_a = formats.load_pickle(embed(dirs["a"], sharded=False))
+    out_b = formats.load_pickle(embed(dirs["b"], sharded=True))
+    np.testing.assert_allclose(np.asarray(out_a["obs"]),
+                               np.asarray(out_b["obs"]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(out_a["action"], out_b["action"])
