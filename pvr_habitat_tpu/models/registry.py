@@ -17,7 +17,6 @@ from dataclasses import dataclass
 from typing import Callable, Optional
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from pvr_habitat_tpu.models import common as cm

@@ -10,7 +10,6 @@ Measured on v5e: int8 matmul 241 TOP/s vs bf16 138 TF/s (1.75x);
 bandwidth-bound stages gain ~1.15-1.3x.
 """
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

@@ -28,8 +28,7 @@ from pvr_habitat_tpu.data import formats, sampler
 from pvr_habitat_tpu.envs.environment import make_environment
 from pvr_habitat_tpu.models.embedding_net import EmbeddingNet
 from pvr_habitat_tpu.train import bc_step
-from pvr_habitat_tpu.train.evaluate import (PolicyRunner, batched_test,
-                                             batched_test_embedded, test)
+from pvr_habitat_tpu.train.evaluate import PolicyRunner, batched_test, test
 from pvr_habitat_tpu.utils import checkpoint as ckpt
 from pvr_habitat_tpu.utils import stats as stats_util
 

@@ -18,7 +18,6 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import os, tempfile, time
-import numpy as np
 from pvr_habitat_tpu.utils.flags import default_flags
 from pvr_habitat_tpu.tools.save_opt_trajectories import gen_data_habitat
 from pvr_habitat_tpu.tools.save_embedded_obs import run as embed_run

@@ -5,7 +5,6 @@ progress (the LR-decay count)."""
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from pvr_habitat_tpu.models import policy

@@ -4,7 +4,6 @@ stats/checkpoint -> resume -> completed-run early exit.  All formats are
 the drop-in contracts of §2.2."""
 
 import os
-import pickle
 
 import numpy as np
 import pytest

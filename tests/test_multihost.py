@@ -13,9 +13,6 @@ import subprocess
 import sys
 
 import numpy as np
-import pytest
-
-import jax.numpy as jnp
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -4,11 +4,9 @@ tests (gen_all / episode dataset / sweep executors)."""
 import gzip
 import json
 import os
-import pickle
 import sys
 
 import numpy as np
-import pytest
 
 from pvr_habitat_tpu.utils import stats as stats_util
 

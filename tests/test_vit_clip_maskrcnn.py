@@ -2,7 +2,6 @@
 oracles, plus full-zoo constructibility with the SURVEY §2.4 dims."""
 
 import numpy as np
-import pytest
 import torch
 
 import jax.numpy as jnp

@@ -2,7 +2,6 @@
 CLIP ViT tower, hand-written (timm/clip are not installed) with matching
 state_dict key names."""
 
-import math
 
 import torch
 import torch.nn as nn
