@@ -44,11 +44,62 @@ def _scene_seed(scene):
         hashlib.sha256(scene.encode()).digest()[:4], "little")
 
 
+def _free_connected(occ):
+    """True iff every free cell is 4-neighbor reachable from any other."""
+    free = ~occ
+    n_free = int(free.sum())
+    if n_free == 0:
+        return False
+    start = tuple(np.argwhere(free)[0])
+    seen = np.zeros_like(free)
+    seen[start] = True
+    frontier = [start]
+    reached = 1
+    while frontier:
+        nxt = []
+        for x, z in frontier:
+            for dx, dz in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nx, nz = x + dx, z + dz
+                if 0 <= nx < GRID and 0 <= nz < GRID and free[nx, nz] \
+                        and not seen[nx, nz]:
+                    seen[nx, nz] = True
+                    reached += 1
+                    nxt.append((nx, nz))
+        frontier = nxt
+    return reached == n_free
+
+
 def _make_floor_plan(scene):
-    """Occupancy grid + per-cell wall colors, deterministic per scene."""
+    """Occupancy grid + per-cell wall colors, deterministic per scene.
+
+    Scene variety (round-2): maze depth 2-4, every wall segment gets
+    its own hue family (rooms become visually distinguishable
+    landmarks — relevant for ImageNav), and 3-9 free-standing pillar
+    obstacles in bright accent colors, each accepted only if the free
+    space stays connected.
+    """
     rng = np.random.RandomState(_scene_seed(scene))
     occ = np.zeros((GRID, GRID), bool)
     occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = True
+
+    base = rng.randint(60, 200, size=3)
+    jitter = rng.randint(0, 80, size=(GRID, GRID, 3))
+    colors = np.clip(base[None, None, :] + jitter, 40, 255).astype(np.int32)
+
+    def wall_hue():
+        return np.clip(base + rng.randint(-70, 71, size=3), 40, 230)
+
+    # distinct hue per boundary wall (orientation landmarks)
+    for sl in (np.s_[0, :], np.s_[-1, :], np.s_[:, 0], np.s_[:, -1]):
+        colors[sl] = np.clip(wall_hue()[None, :]
+                             + rng.randint(0, 50, size=(GRID, 1)), 40, 255)
+
+    def paint(sl):
+        hue = wall_hue()
+        cells = colors[sl]
+        colors[sl] = np.clip(
+            hue[None, :] + rng.randint(0, 50, size=(cells.shape[0], 1)),
+            40, 255)
 
     def divide(x0, x1, z0, z1, depth):
         if depth <= 0 or (x1 - x0) < 6 or (z1 - z0) < 6:
@@ -59,6 +110,7 @@ def _make_floor_plan(scene):
             occ[split, z0:z1 + 1] = True
             occ[split, door] = False
             occ[split, min(door + 1, z1)] = False
+            paint(np.s_[split, z0:z1 + 1])
             divide(x0, split - 1, z0, z1, depth - 1)
             divide(split + 1, x1, z0, z1, depth - 1)
         else:
@@ -67,17 +119,30 @@ def _make_floor_plan(scene):
             occ[x0:x1 + 1, split] = True
             occ[door, split] = False
             occ[min(door + 1, x1), split] = False
+            paint(np.s_[x0:x1 + 1, split])
             divide(x0, x1, z0, split - 1, depth - 1)
             divide(x0, x1, split + 1, z1, depth - 1)
 
-    divide(1, GRID - 2, 1, GRID - 2, depth=3)
+    divide(1, GRID - 2, 1, GRID - 2, depth=2 + rng.randint(0, 2))
 
-    # Scene palette: hue family per scene, per-cell variation for texture.
-    base = rng.randint(60, 200, size=3)
-    jitter = rng.randint(0, 80, size=(GRID, GRID, 3))
-    colors = np.clip(base[None, None, :] + jitter, 40, 255).astype(np.uint8)
-    floor = np.clip(base * 0.5, 20, 255).astype(np.uint8)
-    sky = np.clip(base * 0.3 + 120, 0, 255).astype(np.uint8)
+    # free-standing pillars: bright landmarks, connectivity-preserving
+    for _ in range(rng.randint(3, 10)):
+        x, z = rng.randint(2, GRID - 2, size=2)
+        if occ[x, z]:
+            continue
+        occ[x, z] = True
+        if _free_connected(occ):
+            accent = rng.randint(120, 256, size=3)
+            accent[rng.randint(3)] = rng.randint(0, 60)  # saturated
+            colors[x, z] = accent
+        else:
+            occ[x, z] = False
+
+    colors = colors.astype(np.uint8)
+    floor = np.clip(base * 0.5 + rng.randint(-15, 16, size=3),
+                    20, 255).astype(np.uint8)
+    sky = np.clip(base * 0.3 + 120 + rng.randint(-25, 26, size=3),
+                  0, 255).astype(np.uint8)
     return occ, colors, floor, sky
 
 

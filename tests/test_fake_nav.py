@@ -4,10 +4,9 @@ substitute for habitat-sim; SURVEY.md §4 strategy item (b))."""
 import numpy as np
 import pytest
 
-from pvr_habitat_tpu.envs.environment import Environment, make_environment
+from pvr_habitat_tpu.envs.environment import make_environment
 from pvr_habitat_tpu.envs.fake_nav import FakeNavSim
-from pvr_habitat_tpu.envs.make_env import make_gym_env
-from pvr_habitat_tpu.envs.wrappers import FrameStack, NavigationWrapper
+from pvr_habitat_tpu.envs.wrappers import NavigationWrapper
 from pvr_habitat_tpu.utils.flags import default_flags
 
 
@@ -92,3 +91,22 @@ def test_randomize_respects_compatibility():
         euclid = float(np.linalg.norm(sim.pos - sim.goal_position))
         assert 1.0 <= geo <= 30.0
         assert geo / max(euclid, 1e-6) >= 1.1 - 1e-6
+
+
+def test_scene_variety_and_connectivity():
+    """Round-2 scene variety: scenes differ in structure (maze depth,
+    pillars) and every scene's free space stays fully connected (the
+    expert follower must never be walled off)."""
+    from pvr_habitat_tpu.envs.fake_nav import FakeNavSim, _free_connected
+
+    wall_counts = set()
+    for scene in ("apartment_0", "room_0", "office_1", "hotel_3",
+                  "frl_apartment_2"):
+        sim = FakeNavSim(scene, seed=0)
+        assert _free_connected(sim.occ), scene
+        wall_counts.add(int(sim.occ.sum()))
+        # determinism per scene name
+        sim2 = FakeNavSim(scene, seed=5)
+        np.testing.assert_array_equal(sim.occ, sim2.occ)
+        np.testing.assert_array_equal(sim.wall_colors, sim2.wall_colors)
+    assert len(wall_counts) >= 3, wall_counts  # structural variety
