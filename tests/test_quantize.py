@@ -225,3 +225,49 @@ def test_int8_bench_gate_on_fakenav_data():
     loss_f = train_loss(want)
     assert abs(loss_q - loss_f) <= 0.1 * max(loss_f, 1e-3), \
         (loss_q, loss_f)
+
+
+def test_quantize_embed_cli(tmp_path):
+    """--quantize_embed on the bulk-embed CLI routes through the int8
+    ShardedEmbedder and writes an embedded pickle whose rows stay
+    cosine-close to the default path's output."""
+    import shutil
+
+    from pvr_habitat_tpu.data import formats
+    from pvr_habitat_tpu.tools.save_embedded_obs import (build_tool_parser,
+                                                         run as embed_run)
+    from pvr_habitat_tpu.tools.save_opt_trajectories import gen_data_habitat
+    from pvr_habitat_tpu.utils.flags import default_flags
+
+    env = "FakePointNav-office_0"
+    gen = default_flags(env=env, save_path=str(tmp_path),
+                        max_episode_steps=12)
+    gen.n_trajectories = 2
+    gen_data_habitat(gen)
+
+    dirs = {}
+    for name in ("f32", "int8"):
+        d = tmp_path / name
+        d.mkdir()
+        shutil.copy(formats.raw_path(str(tmp_path), env),
+                    formats.raw_path(str(d), env))
+        dirs[name] = str(d)
+
+    def embed(data_path, quantized):
+        args = ["--env", env, "--data_path", data_path,
+                "--embedding_name", "resnet50", "--source", "pickle",
+                "--batch_size", "16", "--mesh_shape", "1,1",
+                "--disable_pretrained_embedding"]
+        if quantized:
+            args.append("--quantize_embed")
+        flags = build_tool_parser().parse_args(args)
+        return embed_run(flags)
+
+    want = np.asarray(formats.load_pickle(
+        embed(dirs["f32"], quantized=False))["obs"], np.float32)
+    got = np.asarray(formats.load_pickle(
+        embed(dirs["int8"], quantized=True))["obs"], np.float32)
+    assert got.shape == want.shape
+    cos = (got * want).sum(-1) / (np.linalg.norm(got, axis=-1)
+                                  * np.linalg.norm(want, axis=-1))
+    assert cos.min() > 0.98, cos.min()
