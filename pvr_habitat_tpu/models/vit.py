@@ -76,33 +76,33 @@ def multihead_attention(x, wqkv, bqkv, wo, bo, num_heads,
     wqkv = wqkv.astype(x.dtype)
     bqkv = bqkv.astype(x.dtype)
     from pvr_habitat_tpu.ops.pallas.attention import (
-        fused_attention, pallas_attention_enabled)
-    use_pallas = (x.dtype == jnp.bfloat16 and l >= 128
-                  and jax.default_backend() == "tpu"
-                  and pallas_attention_enabled())
+        attention_core, fused_attention, stock_flash_attention)
+    core = attention_core()
+    use_kernel = (core != "einsum" and x.dtype == jnp.bfloat16
+                  and l >= 128 and jax.default_backend() == "tpu")
 
     def proj(w, b):
         return jnp.einsum("nld,ed->nle", x, w, precision=prec) + b
 
     # On the einsum path, 1/sqrt(head) folds into the q weight/bias at
     # trace time — saves an elementwise pass over the (N, L, D) q
-    # tensor.  The Pallas kernel scales internally, so q stays raw
-    # there.
+    # tensor.  The kernels scale internally, so q stays raw there.
     scale = jnp.asarray(1.0 / np.sqrt(head), x.dtype)
-    wq, bq = ((wqkv[:d], bqkv[:d]) if use_pallas
+    wq, bq = ((wqkv[:d], bqkv[:d]) if use_kernel
               else (wqkv[:d] * scale, bqkv[:d] * scale))
     q = proj(wq, bq).reshape(n, l, num_heads, head)
     k = proj(wqkv[d:2 * d], bqkv[d:2 * d]).reshape(n, l, num_heads, head)
     v = proj(wqkv[2 * d:], bqkv[2 * d:]).reshape(n, l, num_heads, head)
-    if use_pallas:
-        # Opt-in Pallas path (PVR_TPU_ENABLE_PALLAS_ATTENTION=1): kept
-        # the (L, L) scores in VMEM and won 1.3x on the Nov-2025
-        # libtpu; after the Jan-2026 libtpu upgrade XLA's einsum core
-        # overtook it (2.60k vs 2.47k f/s mae_base), so the einsum core
-        # is the default again — see docs/DESIGN.md.
-        out = fused_attention(jnp.transpose(q, (0, 2, 1, 3)),
-                              jnp.transpose(k, (0, 2, 1, 3)),
-                              jnp.transpose(v, (0, 2, 1, 3)))
+    if use_kernel:
+        # Opt-in kernel paths (PVR_TPU_ATTENTION_CORE=pallas|flash):
+        # the in-repo VMEM kernel won 1.3x on the Nov-2025 libtpu but
+        # XLA's einsum core overtook it on Jan-2026 (2.60k vs 2.47k f/s
+        # mae_base), so einsum is the default — see docs/DESIGN.md.
+        kern = (stock_flash_attention if core == "flash"
+                else fused_attention)
+        out = kern(jnp.transpose(q, (0, 2, 1, 3)),
+                   jnp.transpose(k, (0, 2, 1, 3)),
+                   jnp.transpose(v, (0, 2, 1, 3)))
         out = jnp.transpose(out, (0, 2, 1, 3))
     else:
         logits = jnp.einsum("nqhd,nkhd->nhqk", q, k, precision=prec)
@@ -176,12 +176,14 @@ def _timm_block_q(qs, x, p, prefix, num_heads):
     qkv = qkv.reshape(n, l, 3, num_heads, d // num_heads)
     q_, k_, v_ = (qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
     from pvr_habitat_tpu.ops.pallas.attention import (
-        fused_attention, pallas_attention_enabled)
-    if jax.default_backend() == "tpu" and l >= 128 \
-            and pallas_attention_enabled():
-        out = fused_attention(jnp.transpose(q_, (0, 2, 1, 3)),
-                              jnp.transpose(k_, (0, 2, 1, 3)),
-                              jnp.transpose(v_, (0, 2, 1, 3)))
+        attention_core, fused_attention, stock_flash_attention)
+    core = attention_core()
+    if jax.default_backend() == "tpu" and l >= 128 and core != "einsum":
+        kern = (stock_flash_attention if core == "flash"
+                else fused_attention)
+        out = kern(jnp.transpose(q_, (0, 2, 1, 3)),
+                   jnp.transpose(k_, (0, 2, 1, 3)),
+                   jnp.transpose(v_, (0, 2, 1, 3)))
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(n, l, d)
     else:
         scale = jnp.asarray(1.0 / np.sqrt(d // num_heads), q_.dtype)

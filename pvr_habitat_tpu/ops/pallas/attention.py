@@ -7,15 +7,19 @@ one program per image computes all heads' QK^T -> softmax -> PV with a
 ~300 KB working set, so HBM traffic drops to reading q/k/v once and
 writing the output once.
 
-Status: OPT-IN (PVR_TPU_ENABLE_PALLAS_ATTENTION=1).  History: on the
-Nov-2025 libtpu this won 1.3x vs the einsum attention core at ViT-B
-shapes (8.4 vs 10.8 ms for the 4 cores incl. layout transposes,
-mae_base 1965 -> 2429 f/s) and was the default bf16 path; after the
-Jan-2026 libtpu upgrade XLA's own codegen overtook it (mae_base einsum
-2.60k vs Pallas 2.47k f/s, chained in-jit timing) so the default
-reverted to the einsum core.  Kept as infrastructure — re-A/B on each
-libtpu rev.  Interpret-mode parity is CI-tested
-(tests/test_fused_attention.py).
+Status: OPT-IN (PVR_TPU_ATTENTION_CORE=pallas, or the legacy
+PVR_TPU_ENABLE_PALLAS_ATTENTION=1).  History: on the Nov-2025 libtpu
+this won 1.3x vs the einsum attention core at ViT-B shapes (8.4 vs
+10.8 ms for the 4 cores incl. layout transposes, mae_base 1965 ->
+2429 f/s) and was the default bf16 path; after the Jan-2026 libtpu
+upgrade XLA's own codegen overtook it (mae_base einsum 2.60k vs
+Pallas 2.47k f/s, chained in-jit timing) so the default reverted to
+the einsum core.  jax's stock flash-attention kernel
+(PVR_TPU_ATTENTION_CORE=flash, ``stock_flash_attention`` below) loses
+harder at these shapes: mae_base 1890 f/s tuned vs einsum 2716 on
+Jan-2026 (pad-to-128 waste + grid overhead at L=197; docs/DESIGN.md).
+Both kept as infrastructure — re-A/B on each libtpu rev.
+Interpret-mode parity is CI-tested (tests/test_fused_attention.py).
 """
 
 import functools
@@ -43,6 +47,68 @@ def pallas_attention_enabled():
         return False
     return os.environ.get("PVR_TPU_ENABLE_PALLAS_ATTENTION", "0") in \
         ("1", "true", "True")
+
+
+def attention_core():
+    """Which attention core the ViT bf16 TPU path uses:
+    'einsum' (default), 'pallas' (the in-repo kernel above), or 'flash'
+    (jax's stock Pallas TPU flash kernel via ``stock_flash_attention``).
+    PVR_TPU_ATTENTION_CORE overrides; the legacy enable/disable vars
+    keep working for the 'pallas' core."""
+    core = os.environ.get("PVR_TPU_ATTENTION_CORE", "").strip().lower()
+    if core in ("einsum", "pallas", "flash"):
+        if core == "pallas" and os.environ.get(
+                "PVR_TPU_DISABLE_PALLAS_ATTENTION", "0") in \
+                ("1", "true", "True"):
+            return "einsum"
+        return core
+    return "pallas" if pallas_attention_enabled() else "einsum"
+
+
+def stock_flash_attention(q, k, v, impl=None):
+    """Non-causal softmax(QK^T/sqrt(D))V via jax's stock Pallas TPU
+    flash-attention kernel (online softmax — the (L, L) scores never
+    round-trip HBM).
+
+    q, k, v: (N, H, L, D).  L is padded up to a multiple of 128 and the
+    pad tokens are masked out with segment ids (pad queries land in a
+    different segment, so real rows never attend to pad keys; pad rows
+    compute garbage that the caller slices off).
+
+    ``impl`` injects the attention implementation — the CPU CI parity
+    test passes the kernel module's ``mha_reference`` (same signature,
+    plain jnp) since the kernel itself is TPU-only.
+    """
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    if impl is None:
+        impl = fa.flash_attention
+    n, h, l, d = q.shape
+    lp = -(-l // 128) * 128
+    pad = lp - l
+    sm_scale = float(1.0 / np.sqrt(d))
+    if pad:
+        cfg = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q, k, v = (jnp.pad(t, cfg) for t in (q, k, v))
+        seg = jnp.broadcast_to(
+            (jnp.arange(lp) >= l).astype(jnp.int32), (n, lp))
+        segment_ids = fa.SegmentIds(q=seg, kv=seg)
+    else:
+        segment_ids = None
+    kwargs = {}
+    if impl is fa.flash_attention:
+        # One program per (batch-block, head, q-block); at ViT scale
+        # (L<=256 after padding) the whole sequence fits one q/k block,
+        # so block the batch instead to amortize the grid.
+        bb = int(os.environ.get("PVR_TPU_FLASH_BLOCK_B", "8"))
+        while n % bb:
+            bb //= 2
+        kwargs["block_sizes"] = fa.BlockSizes(
+            block_q=lp, block_k_major=lp, block_k=lp, block_b=max(bb, 1))
+    # ab (attention bias) is positional-required in mha_reference and
+    # keyword-optional in flash_attention; pass it positionally.
+    out = impl(q, k, v, None, segment_ids, sm_scale=sm_scale, **kwargs)
+    return out[:, :, :l, :]
 
 
 def _kernel(q_ref, k_ref, v_ref, out_ref, *, num_heads, scale):

@@ -51,3 +51,47 @@ def test_vit_forward_unaffected_by_kill_switch(monkeypatch):
     monkeypatch.setenv("PVR_TPU_DISABLE_PALLAS_ATTENTION", "1")
     b = handle.apply_fn(handle.params, x, train=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_attention_core_routing(monkeypatch):
+    from pvr_habitat_tpu.ops.pallas.attention import attention_core
+
+    monkeypatch.delenv("PVR_TPU_DISABLE_PALLAS_ATTENTION", raising=False)
+    monkeypatch.delenv("PVR_TPU_ENABLE_PALLAS_ATTENTION", raising=False)
+    monkeypatch.delenv("PVR_TPU_ATTENTION_CORE", raising=False)
+    assert attention_core() == "einsum"            # default
+    monkeypatch.setenv("PVR_TPU_ATTENTION_CORE", "flash")
+    assert attention_core() == "flash"
+    monkeypatch.setenv("PVR_TPU_ATTENTION_CORE", "pallas")
+    assert attention_core() == "pallas"
+    monkeypatch.setenv("PVR_TPU_DISABLE_PALLAS_ATTENTION", "1")
+    assert attention_core() == "einsum"            # kill switch wins
+    monkeypatch.delenv("PVR_TPU_DISABLE_PALLAS_ATTENTION")
+    monkeypatch.delenv("PVR_TPU_ATTENTION_CORE")
+    monkeypatch.setenv("PVR_TPU_ENABLE_PALLAS_ATTENTION", "1")
+    assert attention_core() == "pallas"            # legacy opt-in
+
+
+def test_stock_flash_wrapper_pad_and_mask():
+    """stock_flash_attention pads L 197->256 and segment-masks the pad;
+    validated on CPU against the plain softmax core by injecting the
+    kernel module's own mha_reference implementation."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    from pvr_habitat_tpu.ops.pallas.attention import stock_flash_attention
+
+    rng = np.random.RandomState(1)
+    n, h, l, d = 2, 3, 197, 32
+    q = jnp.asarray(rng.randn(n, h, l, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(n, h, l, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(n, h, l, d).astype(np.float32))
+
+    scale = 1.0 / np.sqrt(d)
+    logits = jnp.einsum("nhqd,nhkd->nhqk", q * scale, k)
+    probs = jax.nn.softmax(logits, axis=-1)
+    want = jnp.einsum("nhqk,nhkd->nhqd", probs, v)
+
+    got = stock_flash_attention(q, k, v, impl=fa.mha_reference)
+    assert got.shape == (n, h, l, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
