@@ -18,7 +18,41 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_one(name, batch_size, iters, warmup, dtype=jnp.bfloat16):
+def _int8_apply_fn(name, params):
+    """W8A8 serving body for the quantizable zoo members — the ResNet
+    bottleneck families, clip_rn50, and the MAE ViTs (the ViT int8 path
+    is a measured NEGATIVE result kept drivable for re-A/B; see
+    docs/DESIGN.md hypothesis 4)."""
+    from pvr_habitat_tpu.models.registry import _resnet_family
+    from pvr_habitat_tpu.ops import quantize as q
+
+    family = _resnet_family(name)
+    if family is not None and family[0].block == "bottleneck":
+        from pvr_habitat_tpu.models import resnet as resnet_mod
+
+        spec = family[0]
+        return (q.quantize_resnet_params(params),
+                lambda p, x, scales: resnet_mod.apply_int8(
+                    p, x, spec, scales=scales))
+    if name == "clip_rn50":
+        from pvr_habitat_tpu.models import clip as clip_mod
+
+        return (q.quantize_resnet_params(params),
+                lambda p, x, scales: clip_mod.clip_rn50_apply_int8(
+                    p, x, scales=scales))
+    if name in ("mae_base", "mae_large", "mae_huge"):
+        from pvr_habitat_tpu.models import vit as vit_mod
+
+        _, depth, num_heads, patch = vit_mod.MAE_CONFIGS[name]
+        return (q.quantize_vit_params(params),
+                lambda p, x, scales: vit_mod.mae_apply_int8(
+                    p, x, depth=depth, num_heads=num_heads, patch=patch,
+                    scales=scales))
+    raise NotImplementedError(f"no int8 serving path for '{name}'")
+
+
+def bench_one(name, batch_size, iters, warmup, dtype=jnp.bfloat16,
+              int8=False):
     from pvr_habitat_tpu.models.registry import build_encoder
     from pvr_habitat_tpu.ops.fold_bn import fold_resnet_bn
 
@@ -26,16 +60,44 @@ def bench_one(name, batch_size, iters, warmup, dtype=jnp.bfloat16):
     params = handle.params
     if any(k.endswith(".running_mean") for k in params):
         params = fold_resnet_bn(params)
-    params = jax.device_put(
-        jax.tree.map(lambda x: x.astype(dtype)
-                     if x.dtype == jnp.float32 else x, params))
 
-    @jax.jit
-    def forward(p, frames):
-        x = handle.preprocess(frames, precision=jax.lax.Precision.DEFAULT,
-                              out_dtype=dtype)
-        out = handle.apply_fn(p, x, train=False)
-        return out.reshape(out.shape[0], -1).astype(jnp.float32)
+    if int8:
+        params_q, apply_q = _int8_apply_fn(name, params)
+        params_q = jax.device_put(params_q)
+        calib = jnp.asarray(np.random.RandomState(1).randint(
+            0, 256, size=(32, 64, 64, 3), dtype=np.uint8))
+
+        @jax.jit
+        def calibrate(p, frames):
+            x = handle.preprocess(frames,
+                                  precision=jax.lax.Precision.DEFAULT,
+                                  out_dtype=jnp.bfloat16)
+            return apply_q(p, x, None)[1]
+
+        scales = {k: float(v)
+                  for k, v in calibrate(params_q, calib).items()}
+
+        @jax.jit
+        def forward(p, frames):
+            x = handle.preprocess(frames,
+                                  precision=jax.lax.Precision.DEFAULT,
+                                  out_dtype=jnp.bfloat16)
+            out, _ = apply_q(p, x, scales)
+            return out.reshape(out.shape[0], -1).astype(jnp.float32)
+
+        params = params_q
+    else:
+        params = jax.device_put(
+            jax.tree.map(lambda x: x.astype(dtype)
+                         if x.dtype == jnp.float32 else x, params))
+
+        @jax.jit
+        def forward(p, frames):
+            x = handle.preprocess(frames,
+                                  precision=jax.lax.Precision.DEFAULT,
+                                  out_dtype=dtype)
+            out = handle.apply_fn(p, x, train=False)
+            return out.reshape(out.shape[0], -1).astype(jnp.float32)
 
     frames = jnp.asarray(np.random.RandomState(0).randint(
         0, 256, size=(batch_size, 64, 64, 3), dtype=np.uint8))
@@ -60,11 +122,17 @@ def main():
     parser.add_argument("--batch_size", type=int, default=256)
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--int8", action="store_true",
+                        help="W8A8 serving path (ResNet families, "
+                             "clip_rn50, mae_*; the ViT int8 path is a "
+                             "documented negative result).")
     args = parser.parse_args()
     for name in args.names.split(","):
-        fps = bench_one(name, args.batch_size, args.iters, args.warmup)
+        fps = bench_one(name, args.batch_size, args.iters, args.warmup,
+                        int8=args.int8)
         print(json.dumps({"encoder": name, "frames_per_sec": round(fps, 1),
-                          "batch_size": args.batch_size}))
+                          "batch_size": args.batch_size,
+                          "path": "int8" if args.int8 else "bf16"}))
 
 
 if __name__ == "__main__":
