@@ -62,3 +62,52 @@ def test_two_process_localhost_embedding(tmp_path):
                                    atol=1e-4, rtol=1e-4)
         covered[start:stop] = True
     assert covered.all()
+
+
+def test_two_process_localhost_training(tmp_path):
+    """bc.run under --coordinator flags: 2 processes x 4 virtual CPU
+    devices, ('data','model') mesh over the 8-device world, grad
+    all-reduce over the cross-process collectives (SURVEY §2.3 DCN
+    training path). Both ranks must produce the identical, finite loss
+    trajectory."""
+    from pvr_habitat_tpu.data import formats
+
+    env_name = "FakePointNav-hotel_0"
+    rng = np.random.RandomState(3)
+    n = 200
+    formats.save_embedded(
+        formats.embedded_path(str(tmp_path), env_name, "resnet50"),
+        obs=rng.randn(n, 32).astype(np.float32),
+        action=rng.randint(0, 3, size=n).astype(np.int64),
+        reward=rng.rand(n).astype(np.float32),
+        done=(rng.rand(n) < 0.1),
+        true_state=rng.randn(n, 12).astype(np.float32))
+
+    port = _free_port()
+    coordinator = f"localhost:{port}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_NUM_CPU_COLLECTIVES_THREADS"] = "1"
+    worker = os.path.join(REPO, "tests", "multihost_train_worker.py")
+    procs, outs = [], []
+    for rank in range(2):
+        out = str(tmp_path / f"train_rank{rank}.npz")
+        outs.append(out)
+        save = tmp_path / f"save{rank}"
+        save.mkdir()
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(rank),
+             str(tmp_path), str(save), out],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    for proc in procs:
+        stdout, _ = proc.communicate(timeout=540)
+        assert proc.returncode == 0, stdout[-3000:]
+
+    r0, r1 = (np.load(out) for out in outs)
+    # 2 epochs of loss (plus the initial-eval NaN pad)
+    assert r0["loss"].shape == r1["loss"].shape
+    assert np.isfinite(r0["loss"][1:]).all(), r0["loss"]
+    np.testing.assert_array_equal(r0["loss"][1:], r1["loss"][1:])
+    np.testing.assert_array_equal(r0["gnorm"][1:], r1["gnorm"][1:])
+    np.testing.assert_array_equal(r0["ret"], r1["ret"])
