@@ -1,0 +1,95 @@
+"""Embedding server/client: the cross-process TPU serving boundary
+(SURVEY §7 — rollout workers stream observations to an inference
+server).  Hermetic: server runs in-process on the CPU backend."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from pvr_habitat_tpu.models.embedding_net import EmbeddingNet
+from pvr_habitat_tpu.tools.serve_embeddings import (EmbeddingClient,
+                                                    EmbeddingServer)
+
+
+@pytest.fixture(scope="module")
+def server():
+    net = EmbeddingNet("random", pretrained=False)
+    srv = EmbeddingServer(net, port=0, max_batch=64, window_ms=5.0)
+    srv.start()
+    yield srv
+    srv.close()
+
+
+def test_client_matches_direct_embedding(server):
+    net = EmbeddingNet("random", pretrained=False)   # same run_id seed
+    client = EmbeddingClient(server.address)
+    assert client.out_size == net.out_size
+    frames = np.random.RandomState(0).randint(
+        0, 256, size=(5, 64, 64, 3), dtype=np.uint8)
+    got = client(frames)
+    want = net(frames)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    client.close()
+
+
+def test_batch_one_squeeze_contract(server):
+    """N=1 responses squeeze like EmbeddingNet (reference
+    src/embeddings.py:402) so EmbeddingWrapper sees the same shapes."""
+    client = EmbeddingClient(server.address)
+    frames = np.random.RandomState(1).randint(
+        0, 256, size=(1, 64, 64, 3), dtype=np.uint8)
+    out = client(frames)
+    assert out.shape == (client.out_size,)
+    client.close()
+
+
+def test_concurrent_clients_microbatch(server):
+    """Concurrent rollout workers get correct per-request rows back
+    (micro-batching must split the shared dispatch correctly)."""
+    net = EmbeddingNet("random", pretrained=False)
+    results = {}
+
+    def worker(seed):
+        client = EmbeddingClient(server.address)
+        rng = np.random.RandomState(seed)
+        outs = []
+        for _ in range(3):
+            frames = rng.randint(0, 256, size=(4, 64, 64, 3),
+                                 dtype=np.uint8)
+            outs.append((frames, client(frames)))
+        client.close()
+        results[seed] = outs
+
+    threads = [threading.Thread(target=worker, args=(s,))
+               for s in (10, 11, 12)]
+    before = server.requests_served
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert len(results) == 3
+    for outs in results.values():
+        for frames, got in outs:
+            np.testing.assert_allclose(got, net(frames),
+                                       atol=1e-4, rtol=1e-4)
+    assert server.requests_served - before == 9
+
+
+def test_wrapper_integration(server):
+    """EmbeddingClient drops into EmbeddingWrapper in place of a local
+    EmbeddingNet."""
+    from pvr_habitat_tpu.envs.fake_nav import FakeNavSim
+    from pvr_habitat_tpu.envs.wrappers import (EmbeddingWrapper,
+                                               NavigationWrapper)
+
+    sim = FakeNavSim("hotel_0", seed=3)
+    env = NavigationWrapper(sim, "hotel_0", seed=3)
+    client = EmbeddingClient(server.address)
+    wrapped = EmbeddingWrapper(env, client)
+    obs = wrapped.reset()
+    assert obs.shape == (client.out_size,)
+    obs, rwd, done, info = wrapped.step(0)
+    assert obs.shape == (client.out_size,)
+    client.close()
