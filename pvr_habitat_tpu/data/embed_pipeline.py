@@ -125,46 +125,21 @@ class ShardedEmbedder:
     def embed_all(self, frames):
         """frames: (N, H, W, 3) uint8 host array -> (N, out_size) f32.
 
-        Three-stage software pipeline: a stager thread uploads batch
-        i+1 while the main thread dispatches compute on batch i and a
-        fetcher thread drains finished embeddings — on links where the
-        host<->device transfers rival compute (PCIe at high batch
-        rates; the axon tunnel always), upload, compute, and download
-        overlap instead of serializing."""
-        import queue
-        import threading
-        from concurrent.futures import ThreadPoolExecutor
+        Upload, compute, and download overlap via the three-stage
+        pipeline in utils/pipeline.py — on links where host<->device
+        transfers rival compute (PCIe at high batch rates; the axon
+        tunnel always) the legs would otherwise serialize."""
+        from pvr_habitat_tpu.utils.pipeline import pipelined_map
 
         n = frames.shape[0]
         bs = self.batch_size
-        starts = list(range(0, n, bs))
-        if not starts:
+        results = pipelined_map(
+            range(0, n, bs),
+            stage=lambda i: self._stage(frames[i:i + bs]),
+            dispatch=self._run_forward,
+            fetch=lambda dev: np.asarray(dev).astype(np.float32))
+        if not results:
             return np.zeros((0, self.out_size), np.float32)
-
-        results = [None] * len(starts)
-        outq = queue.Queue(maxsize=4)
-
-        def fetch_worker():
-            while True:
-                item = outq.get()
-                if item is None:
-                    return
-                idx, dev = item
-                results[idx] = np.asarray(dev).astype(np.float32)
-
-        fetcher = threading.Thread(target=fetch_worker, daemon=True)
-        fetcher.start()
-        with ThreadPoolExecutor(max_workers=1) as stager:
-            nxt = stager.submit(self._stage, frames[starts[0]:
-                                                    starts[0] + bs])
-            for j, i in enumerate(starts):
-                device_chunk = nxt.result()
-                if j + 1 < len(starts):
-                    i2 = starts[j + 1]
-                    nxt = stager.submit(self._stage, frames[i2:i2 + bs])
-                outq.put((j, self._run_forward(device_chunk)))
-        outq.put(None)
-        fetcher.join()
         return np.concatenate(results)[:n]
 
     def embed_local(self, frames):
@@ -180,20 +155,36 @@ class ShardedEmbedder:
         fallback: plain embed_all."""
         if jax.process_count() == 1:
             return self.embed_all(frames)
+        from jax.experimental import multihost_utils
+
         from pvr_habitat_tpu.parallel import multihost
 
         local_bs = self.batch_size // jax.process_count()
         assert local_bs >= 1, (self.batch_size, jax.process_count())
         n = frames.shape[0]
+        # EVERY process must run the same number of global SPMD steps
+        # or the stragglers' dispatches deadlock waiting for the ranks
+        # whose (ragged) slice ran out one batch early — so agree on
+        # the worst-case step count up front and let short ranks feed
+        # zero batches whose rows are trimmed below.
+        counts = multihost_utils.process_allgather(
+            np.asarray([n], np.int64)).reshape(-1)
+        steps = max(-(-int(c) // local_bs) for c in counts)
+        chunk_shape = (local_bs,) + frames.shape[1:]
         outputs = []
-        for i in range(0, n, local_bs):
+        for step in range(steps):
+            i = step * local_bs
             chunk = frames[i:i + local_bs]
             if chunk.shape[0] < local_bs:
-                pad = np.zeros((local_bs - chunk.shape[0],) + chunk.shape[1:],
-                               chunk.dtype)
-                chunk = np.concatenate([chunk, pad], axis=0)
+                pad = np.zeros(
+                    (local_bs - chunk.shape[0],) + chunk_shape[1:],
+                    frames.dtype)
+                chunk = np.concatenate([chunk, pad], axis=0) \
+                    if chunk.shape[0] else pad
             global_chunk = multihost.global_array_from_local(
                 self.mesh, chunk)
             out = self._run_forward(global_chunk)
             outputs.append(multihost.local_rows_from_global(out))
+        if not outputs:
+            return np.zeros((0, self.out_size), np.float32)
         return np.concatenate(outputs)[:n]

@@ -108,50 +108,21 @@ class EmbeddingNet:
 
     def embed_batches(self, frames, batch_size):
         """Bulk path (the main_bc_1 embed-at-load hot loop, reference
-        main_bc_1.py:127-138): three-stage software pipeline — a stager
-        thread uploads batch i+1 while the main thread dispatches
-        compute on batch i and a fetcher thread drains finished
-        embeddings, so upload, compute, and download overlap on links
-        where transfers rival compute (PCIe at high rates; the axon
-        tunnel always)."""
-        import queue as queue_mod
-        import threading
-        from concurrent.futures import ThreadPoolExecutor
+        main_bc_1.py:127-138): upload, compute, and download overlap
+        via the three-stage pipeline in utils/pipeline.py."""
+        from pvr_habitat_tpu.utils.pipeline import pipelined_map
 
         if self.embedding_name == "true_state":
             return np.squeeze(np.asarray(frames))
         n = frames.shape[0]
-        starts = list(range(0, n, batch_size))
-        if not starts:
+        results = pipelined_map(
+            range(0, n, batch_size),
+            stage=lambda i: jnp.asarray(self._pad(
+                np.asarray(frames[i:i + batch_size]), batch_size)),
+            dispatch=lambda chunk: self._jitted(self.params, chunk),
+            fetch=np.asarray)
+        if not results:
             return np.zeros((0, self.out_size), np.float32)
-
-        def stage(i):
-            chunk = self._pad(np.asarray(frames[i:i + batch_size]),
-                              batch_size)
-            return jnp.asarray(chunk)
-
-        results = [None] * len(starts)
-        outq = queue_mod.Queue(maxsize=4)
-
-        def fetch_worker():
-            while True:
-                item = outq.get()
-                if item is None:
-                    return
-                idx, dev = item
-                results[idx] = np.asarray(dev)
-
-        fetcher = threading.Thread(target=fetch_worker, daemon=True)
-        fetcher.start()
-        with ThreadPoolExecutor(max_workers=1) as stager:
-            nxt = stager.submit(stage, starts[0])
-            for j, i in enumerate(starts):
-                chunk = nxt.result()
-                if j + 1 < len(starts):
-                    nxt = stager.submit(stage, starts[j + 1])
-                outq.put((j, self._jitted(self.params, chunk)))
-        outq.put(None)
-        fetcher.join()
         return np.concatenate(results, axis=0)[:n]
 
     @staticmethod

@@ -34,6 +34,8 @@ def run(flags):
     np.random.seed(flags.run_id)
     random.seed(flags.run_id)
 
+    import jax
+
     embedding_model = EmbeddingNet(
         flags.embedding_name, in_channels=3,
         pretrained=flags.pretrained_embedding,
@@ -41,10 +43,14 @@ def run(flags):
         checkpoint_dir=flags.data_path, run_id=flags.run_id)
 
     # Save the encoder weights used (random gets a per-run suffix).
+    # Multi-host: all ranks compute, only rank 0 writes (concurrent
+    # writers on the shared data_path would corrupt the files).
+    is_writer = jax.process_index() == 0
     emb_path = os.path.join(flags.data_path, flags.embedding_name)
     if flags.embedding_name == "random":
         emb_path += "_" + str(flags.run_id)
-    embedding_model.save(emb_path + ".tar")
+    if is_writer:
+        embedding_model.save(emb_path + ".tar")
 
     print("=== Loading trajectories ===")
     if flags.source == "png":
@@ -74,8 +80,10 @@ def run(flags):
     assert n_samples > 0, "no data found"
     print("   total number of samples", n_samples)
 
-    formats.save_embedded(save_name, data["obs"], data["action"],
-                          data["reward"], data["done"], data["true_state"])
+    if is_writer:
+        formats.save_embedded(save_name, data["obs"], data["action"],
+                              data["reward"], data["done"],
+                              data["true_state"])
     return save_name
 
 

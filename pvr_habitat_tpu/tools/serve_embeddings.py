@@ -95,13 +95,10 @@ class EmbeddingServer:
             except OSError:
                 return
             conn.sendall(struct.pack("<I", int(self.net.out_size)))
-            t = threading.Thread(target=self._reader,
-                                 args=(conn, threading.Lock()),
-                                 daemon=True)
-            t.start()
-            self._threads.append(t)
+            threading.Thread(target=self._reader, args=(conn,),
+                             daemon=True).start()
 
-    def _reader(self, conn, write_lock):
+    def _reader(self, conn):
         try:
             while not self._stop.is_set():
                 n, h, w, c = _HDR.unpack(_recv_exact(conn, _HDR.size))
@@ -110,7 +107,7 @@ class EmbeddingServer:
                 payload = _recv_exact(conn, n * h * w * c)
                 frames = np.frombuffer(payload, np.uint8).reshape(
                     n, h, w, c)
-                self._queue.put((frames, conn, write_lock))
+                self._queue.put((frames, conn))
         except (ConnectionError, OSError):
             return
         finally:
@@ -140,23 +137,35 @@ class EmbeddingServer:
                         break
                     batch.append(nxt)
                     total += nxt[0].shape[0]
-            self._serve_batch(batch)
+            # One device dispatch per FRAME SHAPE: requests with
+            # different (H, W, C) cannot share a batch.
+            groups = {}
+            for item in batch:
+                groups.setdefault(item[0].shape[1:], []).append(item)
+            for group in groups.values():
+                self._serve_batch(group)
 
     def _serve_batch(self, batch):
         frames = np.concatenate([b[0] for b in batch], axis=0)
-        out = np.asarray(self.net(frames), np.float32).reshape(
-            frames.shape[0], -1)
+        try:
+            out = np.asarray(self.net(frames), np.float32).reshape(
+                frames.shape[0], -1)
+        except Exception:  # noqa: BLE001 — one bad batch must not
+            # kill the dispatcher; drop the offending connections so
+            # their clients see EOF instead of hanging forever.
+            for _, conn in batch:
+                conn.close()
+            return
         self.requests_served += len(batch)
         self.batches_served += 1
         row = 0
-        for req_frames, conn, write_lock in batch:
+        for req_frames, conn in batch:
             n = req_frames.shape[0]
             part = np.ascontiguousarray(out[row:row + n])
             row += n
             try:
-                with write_lock:
-                    conn.sendall(_RSP.pack(n, part.shape[1])
-                                 + part.tobytes())
+                conn.sendall(_RSP.pack(n, part.shape[1])
+                             + part.tobytes())
             except (ConnectionError, OSError):
                 pass  # client went away; keep serving the others
 

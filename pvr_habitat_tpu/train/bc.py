@@ -140,11 +140,18 @@ def _shard_state(mesh, state):
 def _evaluate(runner, eval_envs, stat_keys, n_episodes, embedding=None):
     if len(eval_envs) > 1 and embedding is not None:
         # raw-frame envs; preprocess+encoder+policy fused into ONE
-        # device dispatch per tick (see FusedPolicyRunner).
+        # device dispatch per tick (see FusedPolicyRunner).  The fused
+        # runner is cached on the encoder and refreshed with the
+        # current policy params — rebuilding it would re-jit the whole
+        # encoder+policy step at every eval point.
         from pvr_habitat_tpu.train.evaluate import (FusedPolicyRunner,
                                                     batched_test_fused)
 
-        fused = FusedPolicyRunner(runner, embedding)
+        fused = getattr(embedding, "_fused_runner", None)
+        if fused is None:
+            fused = embedding._fused_runner = FusedPolicyRunner(
+                runner, embedding)
+        fused.update_policy(runner)
         return batched_test_fused(fused, eval_envs, stat_keys, n_episodes)
     if len(eval_envs) > 1:
         return batched_test(runner, eval_envs, stat_keys, n_episodes)

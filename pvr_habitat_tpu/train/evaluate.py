@@ -6,11 +6,27 @@ keeps a persistent jitted step for a fixed (1, 1, ...) shape — compiled
 once, no per-step retrace — and carries the LSTM state across steps.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from pvr_habitat_tpu.models import policy as policy_mod
+
+
+@functools.partial(jax.jit, static_argnames=("batch_norm", "conv_policy"))
+def _policy_step(params, batch_stats, obs, done, core_state, *,
+                 batch_norm, conv_policy):
+    # Module-level jit: every PolicyRunner instance (trainers rebuild
+    # one per eval point) shares the compiled executables instead of
+    # retracing per construction.
+    apply_fn = (policy_mod.apply_conv_policy if conv_policy
+                else policy_mod.apply_policy)
+    outputs, new_state, _ = apply_fn(
+        params, batch_stats, dict(obs=obs, done=done), core_state,
+        batch_norm=batch_norm, train=False)
+    return outputs["action"], new_state
 
 
 class PolicyRunner:
@@ -22,16 +38,6 @@ class PolicyRunner:
         self.batch_stats = batch_stats or {}
         self.batch_norm = batch_norm
         self.conv_policy = conv_policy
-        apply_fn = (policy_mod.apply_conv_policy if conv_policy
-                    else policy_mod.apply_policy)
-
-        def step(params, batch_stats, obs, done, core_state):
-            outputs, new_state, _ = apply_fn(
-                params, batch_stats, dict(obs=obs, done=done), core_state,
-                batch_norm=batch_norm, train=False)
-            return outputs["action"], new_state
-
-        self._step = jax.jit(step)
 
     def initial_state(self, batch_size=1):
         return policy_mod.initial_state(batch_size)
@@ -39,8 +45,9 @@ class PolicyRunner:
     def __call__(self, env_output, core_state):
         obs = jnp.asarray(env_output["obs"])
         done = jnp.asarray(env_output["done"])
-        action, new_state = self._step(self.params, self.batch_stats,
-                                       obs, done, core_state)
+        action, new_state = _policy_step(
+            self.params, self.batch_stats, obs, done, core_state,
+            batch_norm=self.batch_norm, conv_policy=self.conv_policy)
         return dict(action=np.asarray(action)), new_state
 
 
@@ -63,8 +70,9 @@ class FusedPolicyRunner:
         assert handle.preprocess is not None, "true_state has no frames"
         eparams = embedding.params
         batch_norm = policy_runner.batch_norm
-        compute_dtype = (jnp.bfloat16
-                         if jax.default_backend() == "tpu" else jnp.float32)
+        # Honor the encoder's serving dtype (--compute_dtype): f32 is
+        # the parity grade and must stay f32 through eval too.
+        compute_dtype = getattr(embedding, "compute_dtype", jnp.float32)
         precision = (jax.lax.Precision.DEFAULT
                      if compute_dtype == jnp.bfloat16
                      else jax.lax.Precision.HIGHEST)
@@ -117,6 +125,15 @@ class FusedPolicyRunner:
         self._step_with_goals = jax.jit(step_with_goals)
         self._goal_emb = None
 
+    def update_policy(self, policy_runner):
+        """Swap in fresh policy params without retracing: the jitted
+        steps take params as arguments, so trainers keep ONE
+        FusedPolicyRunner across eval points (rebuilding one would
+        re-jit the whole preprocess+encoder+policy step every eval)."""
+        self.params = policy_runner.params
+        self.batch_stats = policy_runner.batch_stats
+        return self
+
     def initial_state(self, batch_size=1):
         self._goal_emb = None
         return policy_mod.initial_state(batch_size)
@@ -152,6 +169,13 @@ class FusedPolicyRunner:
         return np.asarray(action).reshape(-1), new_state
 
 
+def _episode_quotas(n_episodes, k):
+    """Fixed per-env episode quotas: env i contributes exactly
+    n_episodes // k (+1 for the first n_episodes % k envs) — see the
+    accounting note in ``batched_test``."""
+    return [n_episodes // k + (1 if i < n_episodes % k else 0)
+            for i in range(k)]
+
 def batched_test_fused(fused_runner, raw_envs, stat_keys, n_episodes=100):
     """batched_test_embedded with a single device dispatch per tick
     (FusedPolicyRunner).  Same per-env episode quotas."""
@@ -159,8 +183,7 @@ def batched_test_fused(fused_runner, raw_envs, stat_keys, n_episodes=100):
     outs = [env.initial() for env in raw_envs]
     core_state = fused_runner.initial_state(batch_size=k)
     stats = {key: [] for key in stat_keys}
-    quotas = [n_episodes // k + (1 if i < n_episodes % k else 0)
-              for i in range(k)]
+    quotas = _episode_quotas(n_episodes, k)
     counted = [0] * k
     n_frames = np.asarray(outs[0]["obs"]).shape[-1] // 3
     while sum(counted) < n_episodes:
@@ -204,8 +227,7 @@ def batched_test(model, envs, stat_keys, n_episodes=100):
     outs = [env.initial() for env in envs]
     agent_state = model.initial_state(batch_size=k)
     stats = {key: [] for key in stat_keys}
-    quotas = [n_episodes // k + (1 if i < n_episodes % k else 0)
-              for i in range(k)]
+    quotas = _episode_quotas(n_episodes, k)
     counted = [0] * k
     while sum(counted) < n_episodes:
         obs = np.concatenate([o["obs"] for o in outs], axis=1)
@@ -233,8 +255,7 @@ def batched_test_embedded(model, raw_envs, embedding, stat_keys,
     outs = [env.initial() for env in raw_envs]
     agent_state = model.initial_state(batch_size=k)
     stats = {key: [] for key in stat_keys}
-    quotas = [n_episodes // k + (1 if i < n_episodes % k else 0)
-              for i in range(k)]
+    quotas = _episode_quotas(n_episodes, k)
     counted = [0] * k
 
     def embed_tick(raw_obs_list):

@@ -93,3 +93,34 @@ def test_wrapper_integration(server):
     obs, rwd, done, info = wrapped.step(0)
     assert obs.shape == (client.out_size,)
     client.close()
+
+
+def test_shape_mismatch_does_not_kill_dispatcher(server):
+    """Requests with different frame shapes must not share a batch nor
+    crash the dispatcher (they are grouped per shape)."""
+    net = EmbeddingNet("random", pretrained=False)
+    results = {}
+
+    def worker(seed, hw):
+        client = EmbeddingClient(server.address)
+        rng = np.random.RandomState(seed)
+        frames = rng.randint(0, 256, size=(2, hw, hw, 3), dtype=np.uint8)
+        results[seed] = (frames, client(frames))
+        client.close()
+
+    threads = [threading.Thread(target=worker, args=(20, 64)),
+               threading.Thread(target=worker, args=(21, 32))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert set(results) == {20, 21}
+    for frames, got in results.values():
+        np.testing.assert_allclose(got, net(frames), atol=1e-4, rtol=1e-4)
+    # dispatcher must still serve after the mixed-shape window
+    client = EmbeddingClient(server.address)
+    frames = np.random.RandomState(22).randint(
+        0, 256, size=(3, 64, 64, 3), dtype=np.uint8)
+    np.testing.assert_allclose(client(frames), net(frames),
+                               atol=1e-4, rtol=1e-4)
+    client.close()

@@ -1,0 +1,68 @@
+"""utils/pipeline.pipelined_map: ordering, overlap, and the error
+semantics that keep device failures from deadlocking bulk embedding."""
+
+import time
+
+import numpy as np
+import pytest
+
+from pvr_habitat_tpu.utils.pipeline import pipelined_map
+
+
+def test_results_in_order():
+    out = pipelined_map(range(10), stage=lambda i: i * 2,
+                        dispatch=lambda x: x + 1,
+                        fetch=lambda x: x * 10)
+    assert out == [(i * 2 + 1) * 10 for i in range(10)]
+
+
+def test_empty():
+    assert pipelined_map([], stage=None, dispatch=None, fetch=None) == []
+
+
+def test_fetch_error_raises_not_deadlocks():
+    def fetch(x):
+        if x == 3:
+            raise RuntimeError("async device error")
+        return x
+
+    with pytest.raises(RuntimeError, match="async device error"):
+        pipelined_map(range(32), stage=lambda i: i,
+                      dispatch=lambda x: x, fetch=fetch, depth=2)
+
+
+def test_stage_error_raises():
+    def stage(i):
+        if i == 5:
+            raise ValueError("bad stage")
+        return i
+
+    with pytest.raises(ValueError, match="bad stage"):
+        pipelined_map(range(10), stage=stage, dispatch=lambda x: x,
+                      fetch=lambda x: x)
+
+
+def test_stages_overlap():
+    """The stager runs ahead of fetch: total wall clock must be well
+    under the serial sum of the three 10 ms legs."""
+    def slow(x):
+        time.sleep(0.01)
+        return x
+
+    n = 12
+    t0 = time.perf_counter()
+    out = pipelined_map(range(n), stage=slow, dispatch=lambda x: x,
+                        fetch=slow)
+    elapsed = time.perf_counter() - t0
+    assert out == list(range(n))
+    assert elapsed < n * 2 * 0.01 * 0.9, elapsed  # < 90% of serial
+
+
+def test_numpy_payloads():
+    frames = np.arange(40).reshape(10, 4)
+    out = pipelined_map(range(0, 10, 2),
+                        stage=lambda i: frames[i:i + 2],
+                        dispatch=lambda x: x.sum(axis=1),
+                        fetch=np.asarray)
+    got = np.concatenate(out)
+    np.testing.assert_array_equal(got, frames.sum(axis=1))
