@@ -29,9 +29,14 @@ def measure(k, ticks):
 
     from pvr_habitat_tpu.train.evaluate import FusedPolicyRunner
 
+    import jax.numpy as jnp
+
     # ImageNav: 6-channel obs (frame ++ goal) split into two
     # 3-channel frames before embedding, as the wrappers do.
-    embedding = EmbeddingNet("resnet50", pretrained=False)
+    # bf16 serving grade (FusedPolicyRunner honors the encoder dtype;
+    # the recorded DESIGN.md table is the bf16 path).
+    embedding = EmbeddingNet("resnet50", pretrained=False,
+                             compute_dtype=jnp.bfloat16)
     flags = default_flags(env="FakeImageNav-hotel_0",
                           embedding_name="resnet50",
                           max_episode_steps=200)
