@@ -68,7 +68,15 @@ def pipelined_map(items, stage, dispatch, fetch, depth=4):
                         if failure:
                             raise failure[0]
     finally:
-        outq.put(None)
+        # The sentinel put must not block forever when the fetcher
+        # died with a full queue (it will never drain it).
+        while True:
+            try:
+                outq.put(None, timeout=1.0)
+                break
+            except queue_mod.Full:
+                if failure:
+                    break  # fetcher already returned; nothing to signal
         fetcher.join()
     if failure:
         raise failure[0]

@@ -66,3 +66,24 @@ def test_numpy_payloads():
                         fetch=np.asarray)
     got = np.concatenate(out)
     np.testing.assert_array_equal(got, frames.sum(axis=1))
+
+
+def test_fetch_error_with_full_queue_no_deadlock():
+    """The sentinel put at teardown must not block when the fetcher
+    died while the bounded queue was full (the dead fetcher will never
+    drain it)."""
+    def fetch(x):
+        if x == 0:
+            raise RuntimeError("dies immediately")
+        return x
+
+    def dispatch(x):
+        return x
+
+    # depth=1: after fetch(0) dies, item 1 fills the queue and the put
+    # of item 2 must time out and raise rather than hang.
+    t0 = time.perf_counter()
+    with pytest.raises(RuntimeError, match="dies immediately"):
+        pipelined_map(range(8), stage=lambda i: i, dispatch=dispatch,
+                      fetch=fetch, depth=1)
+    assert time.perf_counter() - t0 < 30, "teardown hung"
