@@ -43,19 +43,25 @@ def test_stage_error_raises():
 
 
 def test_stages_overlap():
-    """The stager runs ahead of fetch: total wall clock must be well
-    under the serial sum of the three 10 ms legs."""
+    """The stager runs ahead of fetch: pipelined wall clock must beat a
+    serial execution of the same legs measured in-process (an absolute
+    bound is flaky under load on this 1-core CI host)."""
     def slow(x):
         time.sleep(0.01)
         return x
 
     n = 12
     t0 = time.perf_counter()
+    for i in range(n):          # serial baseline: stage then fetch
+        slow(slow(i))
+    serial = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     out = pipelined_map(range(n), stage=slow, dispatch=lambda x: x,
                         fetch=slow)
-    elapsed = time.perf_counter() - t0
+    piped = time.perf_counter() - t0
     assert out == list(range(n))
-    assert elapsed < n * 2 * 0.01 * 0.9, elapsed  # < 90% of serial
+    assert piped < serial * 0.85, (piped, serial)
 
 
 def test_numpy_payloads():
