@@ -43,7 +43,7 @@ class ShardedEmbedder:
             from pvr_habitat_tpu.ops import quantize as q
 
             family = _resnet_family(embedding_name)
-            if family is not None and family[0].block == "bottleneck":
+            if family is not None:
                 from pvr_habitat_tpu.models import resnet as resnet_mod
 
                 spec = family[0]

@@ -281,7 +281,6 @@ def apply_int8(params_q, x, spec, scales=None):
     Returns (out (N, out_size) f32/bf16, scales dict)."""
     from pvr_habitat_tpu.ops import quantize as q
 
-    assert spec.block == "bottleneck"
     qs = q.QuantState(scales)
     y = q.conv_q(qs, "conv1", x, params_q, 2, 3,
                  bias=q.affine_from_folded_bn(params_q, "bn1"))
@@ -294,9 +293,13 @@ def apply_int8(params_q, x, spec, scales=None):
         base = f"{name}.0" if grafted else name
         for i in range(spec.layers[stage_idx]):
             stride = 2 if (i == 0 and stage_idx > 0) else 1
-            has_ds = f"{base}.{i}.downsample.0.weight" in params_q
-            y = _bottleneck_block_q(qs, y, params_q, f"{base}.{i}",
-                                    stride, has_ds)
+            if spec.block == "bottleneck":
+                has_ds = f"{base}.{i}.downsample.0.weight" in params_q
+                y = _bottleneck_block_q(qs, y, params_q, f"{base}.{i}",
+                                        stride, has_ds)
+            else:
+                y = _basic_block_q(qs, y, params_q, f"{base}.{i}",
+                                   stride)
         if grafted:
             y = _basic_block_q(qs, y, params_q, f"{name}.1", 1)
     if spec.cut in ("l3", "l4"):

@@ -27,7 +27,7 @@ def _int8_apply_fn(name, params):
     from pvr_habitat_tpu.ops import quantize as q
 
     family = _resnet_family(name)
-    if family is not None and family[0].block == "bottleneck":
+    if family is not None:
         from pvr_habitat_tpu.models import resnet as resnet_mod
 
         spec = family[0]

@@ -271,3 +271,23 @@ def test_quantize_embed_cli(tmp_path):
     cos = (got * want).sum(-1) / (np.linalg.norm(got, axis=-1)
                                   * np.linalg.norm(want, axis=-1))
     assert cos.min() > 0.98, cos.min()
+
+
+def test_int8_basic_block_resnet18():
+    """The basic-block family (resnet18/34) runs the W8A8 path too."""
+    spec = resnet.ResNetSpec(18)
+    params = fold_resnet_bn(
+        resnet.init_params(spec, np.random.RandomState(11)))
+    params_q = q.quantize_resnet_params(params)
+    x = default_preprocess()(jnp.asarray(
+        np.random.RandomState(12).randint(0, 256, (2, 64, 64, 3),
+                                          np.uint8)))
+    out, scales = resnet.apply_int8(params_q, x, spec)
+    assert out.shape == (2, 512)
+    scales = {k: float(v) for k, v in scales.items()}
+    out2, _ = resnet.apply_int8(params_q, x, spec, scales=scales)
+    want = np.asarray(resnet.apply(params, x, spec))
+    got = np.asarray(out2)
+    cos = (got * want).sum(-1) / (np.linalg.norm(got, axis=-1)
+                                  * np.linalg.norm(want, axis=-1))
+    assert cos.min() > 0.98, cos
