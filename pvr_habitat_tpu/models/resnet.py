@@ -234,9 +234,10 @@ def apply_fused_hybrid(params, x, spec, interpret=False):
     return jnp.mean(y, axis=(1, 2))
 
 
-def _bottleneck_block_q(qs, x, p, prefix, stride, has_downsample):
+def _bottleneck_block_q(qs, x, p, prefix, stride):
     from pvr_habitat_tpu.ops import quantize as q
 
+    has_downsample = f"{prefix}.downsample.0.weight" in p
     identity = x
     y = q.conv_q(qs, f"{prefix}.conv1", x, p, 1, 0,
                  bias=q.affine_from_folded_bn(p, f"{prefix}.bn1"))
@@ -291,15 +292,11 @@ def apply_int8(params_q, x, spec, scales=None):
         grafted = (spec.cut == "l3" and stage_idx == 2) or \
                   (spec.cut == "l4" and stage_idx == 3)
         base = f"{name}.0" if grafted else name
+        block_q = (_bottleneck_block_q if spec.block == "bottleneck"
+                   else _basic_block_q)
         for i in range(spec.layers[stage_idx]):
             stride = 2 if (i == 0 and stage_idx > 0) else 1
-            if spec.block == "bottleneck":
-                has_ds = f"{base}.{i}.downsample.0.weight" in params_q
-                y = _bottleneck_block_q(qs, y, params_q, f"{base}.{i}",
-                                        stride, has_ds)
-            else:
-                y = _basic_block_q(qs, y, params_q, f"{base}.{i}",
-                                   stride)
+            y = block_q(qs, y, params_q, f"{base}.{i}", stride)
         if grafted:
             y = _basic_block_q(qs, y, params_q, f"{name}.1", 1)
     if spec.cut in ("l3", "l4"):

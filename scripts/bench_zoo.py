@@ -19,10 +19,10 @@ import jax.numpy as jnp
 
 
 def _int8_apply_fn(name, params):
-    """W8A8 serving body for the quantizable zoo members — the ResNet
-    bottleneck families, clip_rn50, and the MAE ViTs (the ViT int8 path
-    is a measured NEGATIVE result kept drivable for re-A/B; see
-    docs/DESIGN.md hypothesis 4)."""
+    """W8A8 serving body for the quantizable zoo members — every ResNet
+    family (bottleneck AND basic-block), clip_rn50, and the MAE ViTs
+    (the ViT int8 path is a measured NEGATIVE result kept drivable for
+    re-A/B; see docs/DESIGN.md hypothesis 4)."""
     from pvr_habitat_tpu.models.registry import _resnet_family
     from pvr_habitat_tpu.ops import quantize as q
 
