@@ -10,43 +10,108 @@ certified by an accuracy gate on real FakeNav data
 embedding cosine > 0.99 vs f32 AND downstream BC training-loss parity
 within 10%).  ``--fused off`` is the bf16 parity-grade path.
 
-Prints ONE JSON line:
+Resilience (the axon TPU tunnel wedges spontaneously — see
+docs/DESIGN.md "Tunnel pathology"): the benchmark runs as a PARENT
+SUPERVISOR that never initializes JAX, launching each measurement
+attempt as a child subprocess.  Children emit per-phase telemetry to
+stderr (``BENCHPHASE <name> +<t>s``) and carry per-phase SIGALRM
+deadlines; the parent enforces a hard wall-clock kill per attempt,
+retries after a cool-down when the tunnel looks wedged (wedges are
+terminal-side and sometimes clear within a minute), falls back
+int8 -> bf16 when the fancy path itself fails, and ALWAYS prints
+exactly one JSON line on stdout within the global budget:
+
   {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N/10000}
+
+On total failure the line carries value 0.0 and a note naming the last
+phase each attempt reached — never a silent zero.
+
+Manual tunnel health check: ``python bench.py --probe-only``.
 """
 
 import argparse
 import json
+import os
 import signal
+import subprocess
 import sys
+import threading
 import time
 
-import numpy as np
-import jax
-import jax.numpy as jnp
-
 BASELINE_FPS = 10000.0
-WATCHDOG_SECONDS = 420
+METRIC = "resnet50_embed_fps_per_chip"
+PHASE_PREFIX = "BENCHPHASE"
+
+# Per-phase deadlines (seconds) for the child, sized from measured
+# tunnel behavior (memory/axon-tpu-tunnel-quirks.md): backend init +
+# first tiny dispatch ~30 s when healthy, resnet50 compile 20-60 s per
+# distinct shape through the tunnel.
+PHASE_DEADLINES = {
+    "backend_init": 90,
+    "tiny_probe": 60,
+    "build": 60,
+    "calibrate": 150,
+    "compile_warmup": 180,
+    "timed_loop": 90,
+}
+
+# Child exit codes.
+RC_OK = 0
+RC_PHASE_TIMEOUT = 3
+
+# Phases whose failure implies the tunnel (not the compute path) is sick.
+WEDGE_PHASES = ("launch", "backend_init", "tiny_probe")
 
 
-def _watchdog(signum, frame):
-    # The axon tunnel can wedge (fetches hang forever). Emit a sentinel
-    # line rather than hanging the driver.
-    print(json.dumps({
-        "metric": "resnet50_embed_fps_per_chip",
-        "value": 0.0,
-        "unit": "frames/sec",
-        "vs_baseline": 0.0,
-        "note": "watchdog: TPU runtime did not respond",
-    }))
+def _emit(payload):
+    print(json.dumps(payload))
     sys.stdout.flush()
-    sys.exit(2)
 
 
-def build_forward(batch_size, dtype=jnp.bfloat16, fused="off"):
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Child: one measurement attempt, with phase telemetry + per-phase alarms.
+# ---------------------------------------------------------------------------
+
+class _Phased:
+    """Tracks the current phase; SIGALRM aborts with RC_PHASE_TIMEOUT."""
+
+    def __init__(self):
+        self.t0 = time.time()
+        self.phase = "start"
+        signal.signal(signal.SIGALRM, self._on_alarm)
+
+    def _on_alarm(self, signum, frame):
+        _log(f"{PHASE_PREFIX} TIMEOUT in phase={self.phase} "
+             f"+{time.time() - self.t0:.1f}s")
+        os._exit(RC_PHASE_TIMEOUT)
+
+    def enter(self, name):
+        self.phase = name
+        _log(f"{PHASE_PREFIX} {name} +{time.time() - self.t0:.1f}s")
+        signal.alarm(PHASE_DEADLINES.get(name, 120))
+
+    def done(self):
+        signal.alarm(0)
+        _log(f"{PHASE_PREFIX} done +{time.time() - self.t0:.1f}s")
+
+
+def build_forward(batch_size, dtype=None, fused="off"):
+    """Build (forward, params, frames) for the requested compute path.
+
+    Kept importable for scripts/tests that A/B paths directly.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
     from pvr_habitat_tpu.models import resnet
     from pvr_habitat_tpu.models.registry import build_encoder
     from pvr_habitat_tpu.ops.fold_bn import fold_resnet_bn
 
+    dtype = dtype or jnp.bfloat16
     handle = build_encoder("resnet50", pretrained=False)
     params = fold_resnet_bn(handle.params)
     preprocess = handle.preprocess
@@ -97,6 +162,205 @@ def build_forward(batch_size, dtype=jnp.bfloat16, fused="off"):
     return forward, params, frames
 
 
+def run_child(args):
+    """One measurement attempt. Exits RC_PHASE_TIMEOUT on a phase hang."""
+    stub = os.environ.get("PVR_BENCH_STUB_BEHAVIOR")
+    if stub:
+        # Hermetic supervisor-test mode: no JAX, deterministic outcome.
+        if stub == "ok":
+            _log(f"{PHASE_PREFIX} timed_loop +0.0s")
+            _emit({"metric": METRIC, "value": 12345.0, "unit": "frames/sec",
+                   "vs_baseline": 1.234, "path": args.fused})
+            return RC_OK
+        if stub == "hang":
+            _log(f"{PHASE_PREFIX} compile_warmup +0.0s")
+            time.sleep(3600)
+        if stub == "wedge":
+            _log(f"{PHASE_PREFIX} TIMEOUT in phase=tiny_probe +1.0s")
+            return RC_PHASE_TIMEOUT
+        if stub == "compile_fail":
+            _log(f"{PHASE_PREFIX} compile_warmup +2.0s")
+            return 1
+        return 1  # stub == "fail"
+
+    ph = _Phased()
+
+    ph.enter("backend_init")
+    import numpy as np  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+    devices = jax.devices()
+    _log(f"  devices={devices}")
+
+    ph.enter("tiny_probe")
+    # block_until_ready is a no-op through the axon tunnel; a host
+    # fetch is the only reliable fence.
+    probe = float(jnp.sum(jnp.ones((8, 8))))
+    assert probe == 64.0
+
+    if args.probe_only:
+        ph.done()
+        _emit({"metric": "tunnel_probe", "value": 1.0, "unit": "ok",
+               "vs_baseline": 1.0})
+        return RC_OK
+
+    # For int8, build_forward dispatches the calibration compile +
+    # scale fetches; give that work the longer 'calibrate' deadline.
+    ph.enter("calibrate" if args.fused == "int8" else "build")
+    forward, params, frames = build_forward(args.batch_size,
+                                            fused=args.fused)
+
+    def sync(x):
+        # Device execution is serialized per chip, so fetching a scalar
+        # of the LAST output drains the queue.
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    ph.enter("compile_warmup")
+    out = forward(params, frames)
+    sync(out)
+    for _ in range(args.warmup):
+        out = forward(params, frames)
+    sync(out)
+
+    ph.enter("timed_loop")
+    start = time.perf_counter()
+    for _ in range(args.iters):
+        out = forward(params, frames)
+    sync(out)
+    elapsed = time.perf_counter() - start
+    ph.done()
+
+    fps = args.batch_size * args.iters / elapsed
+    _emit({
+        "metric": METRIC,
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "path": args.fused,
+    })
+    return RC_OK
+
+
+# ---------------------------------------------------------------------------
+# Parent: supervise attempts, retry, fall back, always emit one line.
+# ---------------------------------------------------------------------------
+
+def _launch_attempt(args, fused, deadline_s, stub_behavior=None,
+                    probe_only=False):
+    """Run one child attempt; returns (ok, payload_or_None, last_phase)."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--child",
+           "--fused", fused,
+           "--batch_size", str(args.batch_size),
+           "--iters", str(args.iters),
+           "--warmup", str(args.warmup)]
+    if probe_only:
+        cmd.append("--probe-only")
+    env = dict(os.environ)
+    env.pop("PVR_BENCH_STUB", None)
+    env.pop("PVR_BENCH_STUB_BEHAVIOR", None)
+    if stub_behavior:
+        env["PVR_BENCH_STUB_BEHAVIOR"] = stub_behavior
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, env=env, text=True)
+
+    last_phase = ["launch"]
+
+    def _pump_stderr():
+        for line in proc.stderr:
+            line = line.rstrip("\n")
+            _log(f"  [child] {line}")
+            if line.startswith(PHASE_PREFIX):
+                token = line.split()[1]
+                if token == "TIMEOUT":
+                    last_phase[0] = (line.split("phase=")[-1].split()[0]
+                                     + " (phase deadline)")
+                elif token != "done":
+                    last_phase[0] = token
+
+    t = threading.Thread(target=_pump_stderr, daemon=True)
+    t.start()
+    try:
+        proc.wait(timeout=deadline_s)
+        killed = False
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+        killed = True
+    t.join(timeout=5)
+    stdout = proc.stdout.read()
+    proc.stdout.close()
+    proc.stderr.close()
+
+    if killed:
+        return False, None, f"{last_phase[0]} (killed at {deadline_s:.0f}s)"
+    if proc.returncode == RC_OK:
+        for line in stdout.splitlines():
+            try:
+                payload = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(payload, dict) and "metric" in payload:
+                return True, payload, last_phase[0]
+        return False, None, f"{last_phase[0]} (no JSON, rc=0)"
+    return False, None, f"{last_phase[0]} (rc={proc.returncode})"
+
+
+def supervise(args):
+    t0 = time.time()
+
+    def remaining():
+        return args.budget - (time.time() - t0)
+
+    stubs = (os.environ.get("PVR_BENCH_STUB") or "").split(":")
+    stubs = [s for s in stubs if s]
+
+    def next_stub():
+        return stubs.pop(0) if stubs else None
+
+    failures = []
+    max_attempts = 3
+    fused = args.fused
+    for i in range(max_attempts):
+        if remaining() < 45:
+            break
+        # Cap the attempt so a failure still leaves room for a fallback.
+        deadline = min(max(remaining() - 10, 40), args.attempt_deadline)
+        _log(f"[bench] attempt {i + 1}/{max_attempts} path={fused} "
+             f"deadline={deadline:.0f}s budget_left={remaining():.0f}s")
+        ok, payload, phase = _launch_attempt(args, fused, deadline,
+                                             stub_behavior=next_stub())
+        if ok:
+            if failures:
+                payload["note"] = (f"attempt {i + 1} succeeded after: "
+                                   + "; ".join(failures))
+            _emit(payload)
+            return 0
+        failures.append(f"attempt {i + 1} path={fused} died in {phase}")
+        _log(f"[bench] {failures[-1]}")
+        wedged = any(w in phase for w in WEDGE_PHASES)
+        if wedged:
+            # The tunnel, not the path, failed: keep the path, cool down
+            # so a terminal-side wedge can clear.
+            if remaining() > 150:
+                cool = min(60, remaining() - 120)
+                _log(f"[bench] tunnel looks wedged; cooling down "
+                     f"{cool:.0f}s")
+                time.sleep(max(cool, 0))
+        else:
+            # The path got past the probe and still died: fall back to
+            # the plain bf16 XLA path.
+            fused = "off"
+
+    _emit({
+        "metric": METRIC,
+        "value": 0.0,
+        "unit": "frames/sec",
+        "vs_baseline": 0.0,
+        "note": "all attempts failed: " + "; ".join(failures),
+    })
+    return 2
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch_size", type=int, default=256)
@@ -110,39 +374,39 @@ def main():
                              "docstring); off = bf16 parity-grade path; "
                              "v1/v2/hybrid = Pallas fused-bottleneck "
                              "experiments (lose to XLA, kept for A/B).")
+    parser.add_argument("--budget", type=float, default=400.0,
+                        help="Global wall-clock budget (s); one JSON "
+                             "line is guaranteed on stdout within it.")
+    parser.add_argument("--attempt_deadline", type=float, default=240.0,
+                        help="Hard kill deadline per child attempt (s).")
+    parser.add_argument("--child", action="store_true",
+                        help=argparse.SUPPRESS)
+    parser.add_argument("--probe-only", dest="probe_only",
+                        action="store_true",
+                        help="Just check tunnel health (tiny op) and "
+                             "exit; no benchmark.")
     args = parser.parse_args()
 
-    signal.signal(signal.SIGALRM, _watchdog)
-    signal.alarm(WATCHDOG_SECONDS)
+    if args.child:
+        sys.exit(run_child(args))
 
-    forward, params, frames = build_forward(args.batch_size,
-                                            fused=args.fused)
+    if args.probe_only:
+        ok, payload, phase = _launch_attempt(args, "off", 150,
+                                             probe_only=True)
+        _emit(payload if ok else
+              {"metric": "tunnel_probe", "value": 0.0, "unit": "ok",
+               "vs_baseline": 0.0, "note": f"died in {phase}"})
+        sys.exit(0 if ok else 2)
 
-    def sync(x):
-        # Device execution is serialized per chip, so fetching a scalar
-        # of the LAST output drains the queue.  (block_until_ready is a
-        # no-op through the axon tunnel, so an explicit host fetch is
-        # the only reliable fence.)
-        return float(jnp.sum(x.astype(jnp.float32)))
-
-    for _ in range(args.warmup):
-        out = forward(params, frames)
-    sync(out)
-
-    start = time.perf_counter()
-    for _ in range(args.iters):
-        out = forward(params, frames)
-    sync(out)
-    elapsed = time.perf_counter() - start
-
-    fps = args.batch_size * args.iters / elapsed
-    print(json.dumps({
-        "metric": "resnet50_embed_fps_per_chip",
-        "value": round(fps, 1),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "path": args.fused,
-    }))
+    try:
+        sys.exit(supervise(args))
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 — contract: always one line
+        _emit({"metric": METRIC, "value": 0.0, "unit": "frames/sec",
+               "vs_baseline": 0.0,
+               "note": f"supervisor crashed: {type(e).__name__}: {e}"})
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -38,6 +38,9 @@ def _find_checkpoint(flags):
 
 
 def run(flags):
+    from pvr_habitat_tpu.utils.platform import configure_platform
+
+    configure_platform(flags)
     stat_keys = ["episode_return", "episode_step", "episode_success"]
 
     payload = ckpt.load_checkpoint(_find_checkpoint(flags))

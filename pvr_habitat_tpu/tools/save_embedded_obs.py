@@ -22,6 +22,9 @@ from pvr_habitat_tpu.utils.flags import build_parser
 
 
 def run(flags):
+    from pvr_habitat_tpu.utils.platform import configure_platform
+
+    configure_platform(flags)
     save_name = formats.embedded_path(flags.data_path, flags.env,
                                       flags.embedding_name)
     if os.path.isfile(save_name):

@@ -13,6 +13,9 @@ from pvr_habitat_tpu.tools.save_opt_trajectories import (build_tool_parser,
 
 
 def gen_data_habitat(flags):
+    from pvr_habitat_tpu.utils.platform import configure_platform
+
+    configure_platform(flags)
     flags.num_input_frames = 1
     flags.embedding_name = None
     env = make_gym_env(flags)

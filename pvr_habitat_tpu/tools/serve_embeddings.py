@@ -210,6 +210,10 @@ def main():
     parser.add_argument("--window_ms", type=float, default=2.0)
     flags = parser.parse_args()
 
+    from pvr_habitat_tpu.utils.platform import configure_platform
+
+    configure_platform(flags)
+
     net = EmbeddingNet(
         flags.embedding_name, in_channels=3,
         pretrained=flags.pretrained_embedding,

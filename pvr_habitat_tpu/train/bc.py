@@ -160,6 +160,9 @@ def _evaluate(runner, eval_envs, stat_keys, n_episodes, embedding=None):
 
 def run(flags, mode="precomputed"):
     flags = copy.copy(flags)
+    from pvr_habitat_tpu.utils.platform import configure_platform
+
+    configure_platform(flags)
     # Multi-host bring-up before any backend use (--coordinator).
     from pvr_habitat_tpu.parallel import multihost
 
