@@ -57,7 +57,10 @@ def attention_core():
     keep working for the 'pallas' core."""
     core = os.environ.get("PVR_TPU_ATTENTION_CORE", "").strip().lower()
     if core in ("einsum", "pallas", "flash"):
-        if core == "pallas" and os.environ.get(
+        # The kill switch must neutralize EVERY Pallas kernel core
+        # ('flash' is jax's stock Pallas kernel) — it is the documented
+        # escape hatch for wedged-TPU Pallas incidents.
+        if core != "einsum" and os.environ.get(
                 "PVR_TPU_DISABLE_PALLAS_ATTENTION", "0") in \
                 ("1", "true", "True"):
             return "einsum"
@@ -100,15 +103,23 @@ def stock_flash_attention(q, k, v, impl=None):
         # One program per (batch-block, head, q-block); at ViT scale
         # (L<=256 after padding) the whole sequence fits one q/k block,
         # so block the batch instead to amortize the grid.
-        bb = int(os.environ.get("PVR_TPU_FLASH_BLOCK_B", "8"))
-        while n % bb:
-            bb //= 2
         kwargs["block_sizes"] = fa.BlockSizes(
-            block_q=lp, block_k_major=lp, block_k=lp, block_b=max(bb, 1))
+            block_q=lp, block_k_major=lp, block_k=lp,
+            block_b=_batch_block(n))
     # ab (attention bias) is positional-required in mha_reference and
     # keyword-optional in flash_attention; pass it positionally.
     out = impl(q, k, v, None, segment_ids, sm_scale=sm_scale, **kwargs)
     return out[:, :, :l, :]
+
+
+def _batch_block(n):
+    """Largest power-of-two divisor of n up to PVR_TPU_FLASH_BLOCK_B
+    (clamped to >= 1: 0/negative env values must not ZeroDivisionError
+    or loop forever)."""
+    bb = max(int(os.environ.get("PVR_TPU_FLASH_BLOCK_B", "8")), 1)
+    while n % bb:
+        bb //= 2
+    return max(bb, 1)
 
 
 def _kernel(q_ref, k_ref, v_ref, out_ref, *, num_heads, scale):

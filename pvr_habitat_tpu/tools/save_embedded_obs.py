@@ -87,6 +87,13 @@ def run(flags):
         formats.save_embedded(save_name, data["obs"], data["action"],
                               data["reward"], data["done"],
                               data["true_state"])
+    if jax.process_count() > 1:
+        # Barrier: non-writer ranks must not return (and possibly read
+        # save_name, or exit and tear down the coordinator) while rank 0
+        # is still writing.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("save_embedded_obs_written")
     return save_name
 
 

@@ -94,7 +94,13 @@ class EmbeddingServer:
                 conn, _ = self._sock.accept()
             except OSError:
                 return
-            conn.sendall(struct.pack("<I", int(self.net.out_size)))
+            try:
+                conn.sendall(struct.pack("<I", int(self.net.out_size)))
+            except (ConnectionError, OSError):
+                # Client connected and immediately went away; a failed
+                # handshake must not kill the accept loop.
+                conn.close()
+                continue
             threading.Thread(target=self._reader, args=(conn,),
                              daemon=True).start()
 
@@ -175,8 +181,15 @@ class EmbeddingClient:
     the EmbeddingNet serving contract, over a socket.  Drop-in for
     EmbeddingWrapper on hosts without a TPU."""
 
-    def __init__(self, address, timeout=60.0):
-        self._conn = socket.create_connection(address, timeout=timeout)
+    def __init__(self, address, timeout=60.0, first_timeout=300.0):
+        # The first request pays the server's jit compile (resnet50 is
+        # ~60 s on a CPU host, 20-60 s through the TPU tunnel), so it
+        # gets its own generous deadline; steady-state requests use
+        # ``timeout``.
+        self._conn = socket.create_connection(address,
+                                              timeout=first_timeout)
+        self._timeout = timeout
+        self._warmed = False
         self.out_size = struct.unpack(
             "<I", _recv_exact(self._conn, 4))[0]
         self._lock = threading.Lock()
@@ -188,6 +201,9 @@ class EmbeddingClient:
             self._conn.sendall(_HDR.pack(n, h, w, c) + frames.tobytes())
             rn, rd = _RSP.unpack(_recv_exact(self._conn, _RSP.size))
             payload = _recv_exact(self._conn, rn * rd * 4)
+            if not self._warmed:
+                self._warmed = True
+                self._conn.settimeout(self._timeout)
         out = np.frombuffer(payload, np.float32).reshape(rn, rd)
         return out.squeeze()
 

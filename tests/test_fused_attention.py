@@ -66,6 +66,8 @@ def test_attention_core_routing(monkeypatch):
     assert attention_core() == "pallas"
     monkeypatch.setenv("PVR_TPU_DISABLE_PALLAS_ATTENTION", "1")
     assert attention_core() == "einsum"            # kill switch wins
+    monkeypatch.setenv("PVR_TPU_ATTENTION_CORE", "flash")
+    assert attention_core() == "einsum"            # ... for BOTH kernels
     monkeypatch.delenv("PVR_TPU_DISABLE_PALLAS_ATTENTION")
     monkeypatch.delenv("PVR_TPU_ATTENTION_CORE")
     monkeypatch.setenv("PVR_TPU_ENABLE_PALLAS_ATTENTION", "1")
@@ -95,3 +97,17 @@ def test_stock_flash_wrapper_pad_and_mask():
     assert got.shape == (n, h, l, d)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_stock_flash_block_b_env_clamped(monkeypatch):
+    """PVR_TPU_FLASH_BLOCK_B=0 (or negative) must not raise
+    ZeroDivisionError or loop forever in the batch-block computation."""
+    from pvr_habitat_tpu.ops.pallas.attention import _batch_block
+
+    for bad in ("0", "-4"):
+        monkeypatch.setenv("PVR_TPU_FLASH_BLOCK_B", bad)
+        assert _batch_block(6) == 1
+    monkeypatch.setenv("PVR_TPU_FLASH_BLOCK_B", "8")
+    assert _batch_block(256) == 8      # divides: use as-is
+    assert _batch_block(6) == 2        # halve until it divides
+    assert _batch_block(7) == 1        # odd batch -> 1
