@@ -137,20 +137,23 @@ def _shard_state(mesh, state):
     return bc_step.TrainState(params, stats, opt, rng)
 
 
-def _evaluate(runner, eval_envs, stat_keys, n_episodes, embedding=None):
+def _evaluate(runner, eval_envs, stat_keys, n_episodes, embedding=None,
+              cache=None):
     if len(eval_envs) > 1 and embedding is not None:
         # raw-frame envs; preprocess+encoder+policy fused into ONE
         # device dispatch per tick (see FusedPolicyRunner).  The fused
-        # runner is cached on the encoder and refreshed with the
-        # current policy params — rebuilding it would re-jit the whole
-        # encoder+policy step at every eval point.
+        # runner lives in the trainer-owned ``cache`` dict and is
+        # refreshed with the current policy params — rebuilding it
+        # would re-jit the whole encoder+policy step at every eval
+        # point.
         from pvr_habitat_tpu.train.evaluate import (FusedPolicyRunner,
                                                     batched_test_fused)
 
-        fused = getattr(embedding, "_fused_runner", None)
+        fused = None if cache is None else cache.get("fused_runner")
         if fused is None:
-            fused = embedding._fused_runner = FusedPolicyRunner(
-                runner, embedding)
+            fused = FusedPolicyRunner(runner, embedding)
+            if cache is not None:
+                cache["fused_runner"] = fused
         fused.update_policy(runner)
         return batched_test_fused(fused, eval_envs, stat_keys, n_episodes)
     if len(eval_envs) > 1:
@@ -287,6 +290,8 @@ def run(flags, mode="precomputed"):
             on_device = True
 
     stat_keys = list(stats_util.STAT_KEYS)
+    # Trainer-owned cache for per-run jitted eval state (fused runner).
+    eval_cache = {}
 
     def make_runner():
         return PolicyRunner(state.params, state.batch_stats,
@@ -304,7 +309,8 @@ def run(flags, mode="precomputed"):
         stats = stats_util.new_stats(to_env, stat_keys)
         stats_ep = _evaluate(make_runner(), eval_envs, stat_keys,
                              flags.n_episodes_test,
-                             embedding_model if eval_batched_embed else None)
+                             embedding_model if eval_batched_embed else None,
+                             cache=eval_cache)
         stats_util.append_eval(stats, to_env, stats_ep, stat_keys)
         for k in stat_keys:
             print("  ", k, np.mean(stats_ep[k]))
@@ -364,7 +370,7 @@ def run(flags, mode="precomputed"):
                 stats_ep = _evaluate(make_runner(), eval_envs,
                                      stat_keys, flags.n_episodes_test,
                                      embedding_model if eval_batched_embed
-                                     else None)
+                                     else None, cache=eval_cache)
                 stats_util.append_eval(stats, to_env, stats_ep, stat_keys)
                 for k in stat_keys:
                     print("  ", k, np.mean(stats_ep[k]))
