@@ -134,20 +134,63 @@ def _flags_to_cli(flags):
     return out
 
 
-def submitit_executor(partition, folder="./out/", timeout_min=4319,
-                      mem_gb=32, cpus=5):
-    import submitit  # optional dependency
+class SubmititExecutor:
+    """submitit executor computing the reference's PER-JOB specs.
 
-    executor = submitit.SlurmExecutor(folder=folder)
-    executor.update_parameters(
-        partition=partition, time=timeout_min, nodes=1, ntasks_per_node=1,
-        mem=f"{mem_gb}GB", cpus_per_task=cpus)
+    kind='bc' (reference slurm_bc.py:191-205): memory heuristic
+    16 GB * n_scenes * (2 if uber), 5 CPUs, 4319 min,
+    job_name 'bc-{embedding}-{env}-{to_env}'.
+    kind='embed' (reference slurm_eo.py:149-167): fixed 32 GB, 10 CPUs,
+    1319 min, job_name 'emb_obs-{embedding}-{env}'.
+    ``debug`` swaps the partition to 'devlab' (slurm_bc.py:188-189).
+    GPU-era knobs (the reference's num_gpus=1 / constraint='pascal')
+    are configurable and default off — TPU clusters schedule
+    accelerators through different Slurm GRES, so callers set
+    ``constraint``/``gres`` to their site's values.
+    """
 
-    class _Wrap:
-        def submit(self, fn, flags):
-            return executor.submit(fn, flags).job_id
+    def __init__(self, partition="learnfair", folder="./out/", kind="bc",
+                 debug=False, local=False, constraint=None, gres=None,
+                 comment=None):
+        import submitit  # optional dependency
 
-    return _Wrap()
+        cls = submitit.LocalExecutor if local else submitit.SlurmExecutor
+        self._executor = cls(folder=folder)
+        self.partition = "devlab" if debug else partition
+        self.kind = kind
+        self.constraint = constraint
+        self.gres = gres
+        self.comment = comment
+
+    def job_spec(self, flags):
+        spec = dict(partition=self.partition, nodes=1, ntasks_per_node=1)
+        if self.kind == "embed":
+            spec.update(time=1319, mem="32GB", cpus_per_task=10,
+                        job_name="emb_obs-%s-%s" % (flags.embedding_name,
+                                                    flags.env))
+        else:
+            n_scenes = len(flags.env.split(","))
+            mem = 16 * n_scenes * \
+                (2 if "uber" in flags.embedding_name else 1)
+            spec.update(time=4319, mem=f"{mem}GB", cpus_per_task=5,
+                        job_name="bc-%s-%s-%s" % (flags.embedding_name,
+                                                  flags.env, flags.to_env))
+        if self.constraint:
+            spec["constraint"] = self.constraint
+        if self.gres:
+            spec["gres"] = self.gres
+        if self.comment:
+            spec["comment"] = self.comment
+        return spec
+
+    def submit(self, fn, flags):
+        self._executor.update_parameters(**self.job_spec(flags))
+        return self._executor.submit(fn, flags).job_id
+
+
+def submitit_executor(partition, folder="./out/", **kwargs):
+    """Back-compat shim for the round-2 API."""
+    return SubmititExecutor(partition=partition, folder=folder, **kwargs)
 
 
 # -- BC sweep ----------------------------------------------------------------
@@ -294,7 +337,9 @@ def main():
     executor = LocalExecutor() if args.local else None
     if executor is None:
         try:
-            executor = submitit_executor(args.partition)
+            executor = SubmititExecutor(
+                args.partition, debug=args.debug,
+                kind="embed" if args.kind == "embed" else "bc")
         except ImportError:
             print("submitit not installed; running locally")
             executor = LocalExecutor()
