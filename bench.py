@@ -48,7 +48,10 @@ PHASE_PREFIX = "BENCHPHASE"
 # distinct shape through the tunnel.
 PHASE_DEADLINES = {
     "backend_init": 90,
-    "tiny_probe": 60,
+    # Generous: during marginal tunnel recovery the first fetch can
+    # take >60 s and then succeed; killing it leaves an in-flight RPC
+    # that renews the wedge for tens of minutes (observed 2026-08-17).
+    "tiny_probe": 120,
     "build": 60,
     "calibrate": 150,
     "compile_warmup": 180,
@@ -340,9 +343,11 @@ def supervise(args):
         wedged = any(w in phase for w in WEDGE_PHASES)
         if wedged:
             # The tunnel, not the path, failed: keep the path, cool down
-            # so a terminal-side wedge can clear.
+            # so a terminal-side wedge can clear.  (Short wedges do
+            # clear; long ones — renewed by killed in-flight RPCs —
+            # outlast any budget, and the sentinel says so.)
             if remaining() > 150:
-                cool = min(60, remaining() - 120)
+                cool = min(90, remaining() - 120)
                 _log(f"[bench] tunnel looks wedged; cooling down "
                      f"{cool:.0f}s")
                 time.sleep(max(cool, 0))

@@ -40,6 +40,13 @@ def main():
     parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--fused", action="store_true",
                         help="Also profile the Pallas fused path.")
+    parser.add_argument("--roofline", action="store_true",
+                        help="Per-stage roofline: XLA cost_analysis "
+                             "FLOPs/bytes vs measured time vs v5e peaks.")
+    parser.add_argument("--peak_tflops", type=float, default=197.0,
+                        help="bf16 peak (v5e: 197 TFLOPS).")
+    parser.add_argument("--peak_gbps", type=float, default=819.0,
+                        help="HBM bandwidth peak (v5e: 819 GB/s).")
     args = parser.parse_args()
 
     from pvr_habitat_tpu.models import common as cm
@@ -76,12 +83,35 @@ def main():
         stages[f"layer{i}"] = jax.jit(
             lambda p, x, _i=i: resnet._stage(x, p, f"layer{_i}", spec,
                                              _i - 1, False))
+    def costs(fn, *fn_args):
+        """XLA's own per-executable cost model (flops, bytes)."""
+        try:
+            ca = jax.jit(fn).lower(*fn_args).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0)), \
+                float(ca.get("bytes accessed", 0.0))
+        except Exception:  # noqa: BLE001 — cost model is best-effort
+            return 0.0, 0.0
+
+    if args.roofline:
+        print(f"{'stage':8} {'ms':>7} {'GFLOP':>8} {'MB':>8} "
+              f"{'%MXU':>6} {'%HBM':>6}  bound")
     y = x224
     for name, fn in stages.items():
         ms = timed(fn, params, y, iters=args.iters)
+        if args.roofline:
+            flops, nbytes = costs(fn, params, y)
+            pct_mxu = flops / (ms / 1e3) / (args.peak_tflops * 1e12) * 100
+            pct_hbm = nbytes / (ms / 1e3) / (args.peak_gbps * 1e9) * 100
+            bound = "compute" if pct_mxu >= pct_hbm else "bandwidth"
+            print(f"{name:8} {ms:7.2f} {flops / 1e9:8.1f} "
+                  f"{nbytes / 1e6:8.1f} {pct_mxu:6.1f} {pct_hbm:6.1f}"
+                  f"  {bound}")
         y = fn(params, y)
         fence(y)
-        print(f"{name}: {ms:.2f} ms  (out {y.shape})")
+        if not args.roofline:
+            print(f"{name}: {ms:.2f} ms  (out {y.shape})")
 
     full = jax.jit(lambda p, f: handle.apply_fn(
         p, pre(f), train=False))

@@ -68,7 +68,7 @@ def main():
         batch_size=32, unroll_length=100, learning_rate=1e-3,
         batch_norm=True, max_frames=32 * 100 * args.epochs,
         eval_frequency=args.eval_frequency, n_episodes_test=20,
-        max_episode_steps=100, eval_batch=5, disable_save=True)
+        max_episode_steps=100, eval_batch=5)
     t0 = time.time()
     stats = bc_run(bc, mode="precomputed")
     s = stats[env]

@@ -78,6 +78,7 @@ def _bc_flags(workdir, **kw):
         max_episode_steps=40, debug=True, **kw)
 
 
+@pytest.mark.slow
 def test_bc_precomputed_train_eval_checkpoint_resume(workdir, embedded_data):
     flags = _bc_flags(workdir)
     stats = bc_run(flags, mode="precomputed")
@@ -107,6 +108,7 @@ def test_bc_precomputed_train_eval_checkpoint_resume(workdir, embedded_data):
     assert stats2[ENV]["frames"][-1] > s["frames"][-1]
 
 
+@pytest.mark.slow
 def test_bc_embed_at_load_runs(workdir, raw_data):
     flags = _bc_flags(workdir)
     flags.max_frames = 4 * 10 * 3
@@ -115,6 +117,7 @@ def test_bc_embed_at_load_runs(workdir, raw_data):
     assert np.isfinite(stats[ENV]["training_loss"][-1])
 
 
+@pytest.mark.slow
 def test_bc_finetune_runs(workdir, raw_data):
     flags = _bc_flags(workdir, batch_norm=True)
     flags.max_frames = 4 * 10 * 3
@@ -126,6 +129,7 @@ def test_bc_finetune_runs(workdir, raw_data):
     assert os.path.isfile(stem + ".tar")
 
 
+@pytest.mark.slow
 def test_main_bc_2_cli_subprocess(workdir, embedded_data):
     """The drop-in CLI accepts the reference flag set end-to-end."""
     import subprocess
@@ -183,6 +187,7 @@ def test_main_test_cli(workdir, embedded_data):
     assert len(stats["episode_return"]) == 1
 
 
+@pytest.mark.slow
 def test_bc_true_state_runs(workdir, embedded_data):
     """true_state reads the resnet50-named pickle's true_state field."""
     src = formats.load_pickle(embedded_data)

@@ -2,6 +2,9 @@
 TP param sharding through the full bc.run on the 8-device CPU mesh."""
 
 import os
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import numpy as np
 

@@ -7,6 +7,10 @@ jax.make_array_from_process_local_data and fetches only its addressable
 output shards. The parent validates both slices against a
 single-process reference."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 import socket
 import subprocess

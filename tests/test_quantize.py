@@ -3,6 +3,7 @@ quantized ResNet-50 vs the f32 reference (opt-in fast path — bounded
 error, NOT the 1e-3 parity contract)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,7 @@ def test_quantize_weight_roundtrip():
     assert err <= float(np.abs(np.asarray(w)).max()) / 127.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_int8_compressed_variant():
     """l4 cut runs through the quantized path with the right dims."""
     spec = resnet.ResNetSpec(50, cut="l4")
@@ -39,6 +41,7 @@ def test_int8_compressed_variant():
     assert cos > 0.98, cos
 
 
+@pytest.mark.slow
 def test_sharded_embedder_int8():
     from pvr_habitat_tpu.data.embed_pipeline import ShardedEmbedder
     from pvr_habitat_tpu.parallel import mesh as pmesh
@@ -58,6 +61,7 @@ def test_sharded_embedder_int8():
     assert cos.min() > 0.99, cos
 
 
+@pytest.mark.slow
 def test_int8_clip_rn50():
     from pvr_habitat_tpu.models import clip as clip_mod
     from pvr_habitat_tpu.ops.image import clip_preprocess
@@ -77,6 +81,7 @@ def test_int8_clip_rn50():
     assert cos > 0.98, cos
 
 
+@pytest.mark.slow
 def test_int8_mae():
     from pvr_habitat_tpu.models import vit
     from pvr_habitat_tpu.ops.image import mae_preprocess
@@ -131,6 +136,7 @@ def test_int8_mae():
     assert cos.min() > 0.98, cos
 
 
+@pytest.mark.slow
 def test_int8_resnet_accuracy():
     spec = resnet.ResNetSpec(50)
     params = fold_resnet_bn(
@@ -158,6 +164,7 @@ def test_int8_resnet_accuracy():
     assert rel.max() < 0.15, rel
 
 
+@pytest.mark.slow
 def test_int8_bench_gate_on_fakenav_data():
     """Accuracy gate certifying int8 W8A8 as the bench.py DEFAULT
     (round-1 VERDICT item 2): on REAL FakeNav frames (not noise), the
@@ -227,6 +234,7 @@ def test_int8_bench_gate_on_fakenav_data():
         (loss_q, loss_f)
 
 
+@pytest.mark.slow
 def test_quantize_embed_cli(tmp_path):
     """--quantize_embed on the bulk-embed CLI routes through the int8
     ShardedEmbedder and writes an embedded pickle whose rows stay
@@ -273,6 +281,7 @@ def test_quantize_embed_cli(tmp_path):
     assert cos.min() > 0.98, cos.min()
 
 
+@pytest.mark.slow
 def test_int8_basic_block_resnet18():
     """The basic-block family (resnet18/34) runs the W8A8 path too."""
     spec = resnet.ResNetSpec(18)

@@ -4,6 +4,7 @@ stepped before the optimizer, clip_grad_norm_(40), RMSprop) to high
 precision — losses, grad norms, and final parameters."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -110,6 +111,7 @@ def test_gather_unrolls_wraparound():
         np.asarray(out["obs"]).ravel(), [7, 8, 9, 0, 1])
 
 
+@pytest.mark.slow
 def test_fused_gather_on_mesh_matches_host_gather():
     """The mesh fused-gather step (dataset replicated, batch gathered
     in-step and constrained to DP lanes) must produce the same loss and
