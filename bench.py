@@ -396,7 +396,7 @@ def main():
         sys.exit(run_child(args))
 
     if args.probe_only:
-        ok, payload, phase = _launch_attempt(args, "off", 150,
+        ok, payload, phase = _launch_attempt(args, "off", 240,
                                              probe_only=True)
         _emit(payload if ok else
               {"metric": "tunnel_probe", "value": 0.0, "unit": "ok",

@@ -189,7 +189,12 @@ class SubmititExecutor:
 
 
 def submitit_executor(partition, folder="./out/", **kwargs):
-    """Back-compat shim for the round-2 API."""
+    """Back-compat shim for the round-2 API.  The old fixed
+    timeout_min/mem_gb/cpus knobs are superseded by the per-job
+    reference specs (SubmititExecutor.job_spec) and accepted-but-
+    ignored here."""
+    for legacy in ("timeout_min", "mem_gb", "cpus"):
+        kwargs.pop(legacy, None)
     return SubmititExecutor(partition=partition, folder=folder, **kwargs)
 
 

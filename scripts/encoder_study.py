@@ -124,9 +124,9 @@ def run_completed(workdir, scene, encoder, run_id):
     return stats["frames"][-1] >= MAX_FRAMES - BATCH * UNROLL
 
 
-def collate(workdir, scene, run_ids):
+def collate(workdir, scene, run_ids, encoders=None):
     rows = []
-    for encoder in ENCODERS:
+    for encoder in (encoders or ENCODERS):
         finals, curves = [], []
         for run_id in run_ids:
             path = stats_path(workdir, scene, encoder, run_id)
@@ -173,7 +173,7 @@ def main():
     log = os.path.join(args.workdir, "study.log")
 
     if args.collate:
-        collate(args.workdir, args.scene, run_ids)
+        collate(args.workdir, args.scene, run_ids, encoders)
         return
 
     t0 = time.time()
@@ -181,8 +181,12 @@ def main():
                          log), "datagen failed"
     print(f"datagen done +{time.time() - t0:.0f}s", flush=True)
 
+    # Anything that is not seed-dependent (random) or an oracle
+    # (true_state) gets bulk-embedded once and shared across seeds.
+    precomputed = [e for e in encoders
+                   if e not in ("random", "true_state")]
     for encoder in encoders:
-        if encoder in PRECOMPUTED:
+        if encoder in precomputed:
             ok = stage_embed(args.workdir, args.scene, encoder, log)
             print(f"embed {encoder}: {'ok' if ok else 'FAILED'} "
                   f"+{time.time() - t0:.0f}s", flush=True)
@@ -200,7 +204,7 @@ def main():
             print(f"bc {encoder} s{run_id}: rc={rc} "
                   f"+{time.time() - t0:.0f}s", flush=True)
 
-    collate(args.workdir, args.scene, run_ids)
+    collate(args.workdir, args.scene, run_ids, encoders)
 
 
 if __name__ == "__main__":

@@ -84,9 +84,12 @@ def main():
             lambda p, x, _i=i: resnet._stage(x, p, f"layer{_i}", spec,
                                              _i - 1, False))
     def costs(fn, *fn_args):
-        """XLA's own per-executable cost model (flops, bytes)."""
+        """XLA's own per-executable cost model (flops, bytes).  ``fn``
+        is already a jitted object — lower it directly (re-wrapping in
+        jax.jit would recompile the stage, 20-60s each through the
+        tunnel)."""
         try:
-            ca = jax.jit(fn).lower(*fn_args).compile().cost_analysis()
+            ca = fn.lower(*fn_args).compile().cost_analysis()
             if isinstance(ca, list):
                 ca = ca[0]
             return float(ca.get("flops", 0.0)), \

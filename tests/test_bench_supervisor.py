@@ -92,5 +92,5 @@ def test_stdout_is_machine_parseable_end_to_end(stub):
     # stderr only.
     rc, payload, stderr = run_bench(stub)
     assert isinstance(payload, dict)
-    assert "BENCHPHASE" not in json.dumps(payload) or True
+    assert "BENCHPHASE" not in json.dumps(payload)
     assert "[bench]" in stderr
