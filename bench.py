@@ -52,10 +52,14 @@ PHASE_DEADLINES = {
     # take >60 s and then succeed; killing it leaves an in-flight RPC
     # that renews the wedge for tens of minutes (observed 2026-08-17).
     "tiny_probe": 120,
-    "build": 60,
-    "calibrate": 150,
-    "compile_warmup": 180,
-    "timed_loop": 90,
+    # The post-probe phases are bounded by the PARENT's attempt
+    # deadline; these alarms exist for attribution, so they stay
+    # generous — under marginal tunnel transport (~23 MB/s) the param
+    # upload inside calibrate/build alone can take minutes.
+    "build": 360,
+    "calibrate": 600,
+    "compile_warmup": 600,
+    "timed_loop": 300,
 }
 
 # Child exit codes.
