@@ -86,6 +86,36 @@ def test_total_failure_emits_attributed_sentinel():
     assert "attempt 3" in payload["note"]
 
 
+def test_device_side_init_and_frames():
+    """bench's setup must not upload params/frames through the tunnel:
+    params come from ONE on-device rng expansion sliced per leaf,
+    frames from an on-device randint — both reproduce shapes/dtypes."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from pvr_habitat_tpu.ops import quantize as q
+
+    host = {"a.weight": np.zeros((3, 3, 4, 8), np.float32),
+            "a.bias": np.zeros((8,), np.float32)}
+    dp = bench._device_init(host)
+    assert dp["a.weight"].shape == (3, 3, 4, 8)
+    assert dp["a.bias"].shape == (8,)
+    # distinct leaves get distinct values (the flat slice offsets work)
+    assert float(jnp.std(dp["a.weight"])) > 0
+    assert not np.allclose(np.asarray(dp["a.weight"]).ravel()[:8],
+                           np.asarray(dp["a.bias"]))
+    qp = jax.jit(q.quantize_resnet_params)(dp)
+    assert qp["a.weight"].dtype == jnp.int8
+    assert "a.wscale" in qp
+
+    frames = np.asarray(bench._device_frames(4))
+    assert frames.shape == (4, 64, 64, 3)
+    assert frames.dtype == np.uint8
+    assert frames.min() >= 0 and frames.max() <= 255
+
+
 @pytest.mark.parametrize("stub", ["ok", "compile_fail:compile_fail:fail"])
 def test_stdout_is_machine_parseable_end_to_end(stub):
     # The driver does json.loads on the line; telemetry must stay on
