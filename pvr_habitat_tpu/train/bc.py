@@ -83,8 +83,10 @@ def _load_embed_at_load(flags, from_env, embedding_model):
         n = (flags.batch_size * flags.unroll_length if flags.debug
              else data["obs"].shape[0])
         print("   passing observations through embedding model")
+        embed_batch = getattr(flags, "embed_batch_size", 0) \
+            or flags.batch_size
         parts["obs"].append(_embed_in_minibatches(
-            embedding_model, data["obs"], flags.batch_size, limit=n))
+            embedding_model, data["obs"], embed_batch, limit=n))
         for key in ("action", "reward", "done"):
             parts[key].append(np.asarray(data[key][:n]))
     return {k: np.concatenate(v) for k, v in parts.items()}

@@ -82,9 +82,13 @@ def stage_embed(workdir, scene, encoder, log):
 
     if os.path.isfile(formats.embedded_path(workdir, scene, encoder)):
         return True
+    # Sharded pipeline (works on a (1,1) mesh too): pipelined
+    # upload/compute/download transport + bf16 serving — ~2x fewer
+    # tunnel bytes than the plain f32 path for the 600k-frame dataset.
     rc = sh([sys.executable, "behavioral_cloning/save_embedded_obs.py",
              "--env", scene, "--embedding_name", encoder,
              "--disable_pretrained_embedding",
+             "--sharded_embed", "--compute_dtype", "bfloat16",
              "--source", "pickle", "--data_path", workdir,
              "--batch_size", "256"], timeout=3600, log=log)
     return rc == 0
@@ -100,6 +104,7 @@ def bc_cmd(workdir, scene, encoder, run_id):
             "--save_path", os.path.join(workdir, "bc"),
             "--run_id", str(run_id),
             "--batch_size", str(BATCH), "--unroll_length", str(UNROLL),
+            "--embed_batch_size", "256",
             "--learning_rate", "0.001",
             "--max_frames", str(MAX_FRAMES),
             "--eval_frequency", str(EVAL_FREQUENCY),
