@@ -105,6 +105,10 @@ def bc_cmd(workdir, scene, encoder, run_id):
             "--run_id", str(run_id),
             "--batch_size", str(BATCH), "--unroll_length", str(UNROLL),
             "--embed_batch_size", "256",
+            # The 2-5 GB embedded datasets MUST be HBM-resident: the
+            # host-side gather fallback uploads ~26 MB/epoch * 3000
+            # epochs through the tunnel (~1h/run at ~23 MB/s).
+            "--data_on_device", "always",
             "--learning_rate", "0.001",
             "--max_frames", str(MAX_FRAMES),
             "--eval_frequency", str(EVAL_FREQUENCY),
