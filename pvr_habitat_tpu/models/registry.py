@@ -101,13 +101,33 @@ def _name_seed(name, run_id=0):
     return int.from_bytes(digest[:4], "little")
 
 
+def _is_flat_artifact(path):
+    """True for our own ``convert.save_flat`` payloads.
+
+    ``EmbeddingNet.save`` persists '{data_path}/{name}.tar' after bulk
+    embedding (the reference contract, save_embedded_obs.py:126-131).
+    For names whose pretrained CHECKPOINT_FILES entry is also
+    '{name}.tar' (resnet50_l3, resnet50_places_l3/_l4) that artifact
+    shadows the expected torch checkpoint; it holds folded serving
+    params under our naming, so it must not be loaded as one.  Skipping
+    it falls back to the seeded random init, which is run_id-independent
+    (``_name_seed(name)``) and therefore bit-identical to the weights
+    the embed stage used."""
+    try:
+        with open(path, "rb") as handle:
+            head = handle.read(256)
+    except OSError:
+        return False
+    return b"pvr_habitat_tpu/flat-v1" in head
+
+
 def _find_checkpoint(name, checkpoint_dir):
     filename = CHECKPOINT_FILES.get(name)
     if filename is None:
         return None
     for base in ([checkpoint_dir] if checkpoint_dir else []) + ["."]:
         path = os.path.join(base, filename)
-        if os.path.isfile(path):
+        if os.path.isfile(path) and not _is_flat_artifact(path):
             return path
     return None
 
@@ -116,15 +136,21 @@ def _load_or_init_resnet(name, spec, surgery, pretrained, checkpoint_dir,
                          seed):
     path = _find_checkpoint(name, checkpoint_dir) if pretrained else None
     if path is not None:
-        ckpt = convert.load_torch_checkpoint(path)
-        state_dict = ckpt.get("state_dict", ckpt)
-        state_dict = surgery(state_dict)
-        flat = convert.torch_state_dict_to_flat(state_dict)
-        expected = set(resnet.init_params(
-            spec, np.random.RandomState(0)).keys())
-        params = {k: v for k, v in flat.items() if k in expected}
-        convert.check_expected(params, expected, context=name)
-        return params
+        try:
+            ckpt = convert.load_torch_checkpoint(path)
+        except Exception as exc:  # corrupt/foreign file: seeded init
+            warnings.warn(
+                f"encoder '{name}': failed to load checkpoint {path} "
+                f"({exc}); using the seeded random init instead")
+        else:
+            state_dict = ckpt.get("state_dict", ckpt)
+            state_dict = surgery(state_dict)
+            flat = convert.torch_state_dict_to_flat(state_dict)
+            expected = set(resnet.init_params(
+                spec, np.random.RandomState(0)).keys())
+            params = {k: v for k, v in flat.items() if k in expected}
+            convert.check_expected(params, expected, context=name)
+            return params
     if pretrained and name != "random":
         warnings.warn(
             f"encoder '{name}': checkpoint "

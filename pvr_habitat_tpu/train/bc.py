@@ -323,9 +323,20 @@ def run(flags, mode="precomputed"):
 
     # One device dispatch per epoch when the dataset is HBM-resident:
     # the unroll gather happens inside the jitted step (per-dispatch
-    # tunnel latency would otherwise dominate the small BC step).
+    # tunnel latency would otherwise dominate the small BC step).  With
+    # chunking (default when device-resident), a whole eval block of
+    # epochs runs as one lax.scan dispatch — same math, same host RNG
+    # stream, K× fewer device round-trips.
     fused_gather = on_device
-    if fused_gather:
+    chunk_size = flags.train_chunk if flags.train_chunk > 0 else \
+        (max(flags.eval_frequency, 1) if fused_gather else 1)
+    chunked = fused_gather and chunk_size > 1
+    if chunked:
+        step_fn = bc_step.make_train_step_chunked(
+            opt, flags.unroll_length, batch_norm=flags.batch_norm,
+            conv_policy=conv_policy, max_grad_norm=flags.max_grad_norm,
+            mesh=mesh)
+    elif fused_gather:
         step_fn = bc_step.make_train_step_fused_gather(
             opt, flags.unroll_length, batch_norm=flags.batch_norm,
             conv_policy=conv_policy, max_grad_norm=flags.max_grad_norm,
@@ -345,25 +356,53 @@ def run(flags, mode="precomputed"):
                                 label="train")
     profile_ctx = profiling.trace(getattr(flags, "profile_dir", ""))
     profile_ctx.__enter__()
-    for frames in range(init_frames, flags.max_frames, frames_per_epoch):
+    frames = init_frames
+    while frames < flags.max_frames:
         epoch = frames // frames_per_epoch
-        starts = sampler.sample_with_minimum_distance(
-            n=n_samples, k=flags.batch_size, d=flags.unroll_length)
-        if fused_gather:
-            state, metrics = step_fn(
-                state, train_data,
-                jnp.asarray(np.asarray(starts, np.int32)))
+        if chunked:
+            # One lax.scan dispatch to the next eval boundary (or end of
+            # budget).  Starts are sampled host-side from the SAME RNG
+            # stream in the same order as the per-epoch loop.
+            boundary = (epoch // chunk_size + 1) * chunk_size
+            ef = max(flags.eval_frequency, 1)
+            eval_boundary = (epoch // ef + 1) * ef
+            epochs_left = -(-(flags.max_frames - frames)
+                            // frames_per_epoch)
+            k = min(boundary - epoch, eval_boundary - epoch, epochs_left)
+            starts_block = np.stack([np.asarray(
+                sampler.sample_with_minimum_distance(
+                    n=n_samples, k=flags.batch_size,
+                    d=flags.unroll_length), np.int32)
+                for _ in range(k)])
+            state, metrics = step_fn(state, train_data,
+                                     jnp.asarray(starts_block))
+            frames += k * frames_per_epoch
+            for _ in range(k):
+                timer.tick()
         else:
-            if mesh is None:
-                batch = sampler.gather_unrolls(train_data, starts,
-                                               flags.unroll_length)
+            starts = sampler.sample_with_minimum_distance(
+                n=n_samples, k=flags.batch_size, d=flags.unroll_length)
+            if fused_gather:
+                state, metrics = step_fn(
+                    state, train_data,
+                    jnp.asarray(np.asarray(starts, np.int32)))
             else:
-                from pvr_habitat_tpu.parallel import mesh as pmesh
+                if mesh is None:
+                    batch = sampler.gather_unrolls(train_data, starts,
+                                                   flags.unroll_length)
+                else:
+                    from pvr_habitat_tpu.parallel import mesh as pmesh
 
-                batch = pmesh.shard_batch(mesh, sampler.gather_unrolls_host(
-                    train_data, starts, flags.unroll_length))
-            state, metrics = step_fn(state, batch)
-        timer.tick()
+                    batch = pmesh.shard_batch(
+                        mesh, sampler.gather_unrolls_host(
+                            train_data, starts, flags.unroll_length))
+                state, metrics = step_fn(state, batch)
+            frames += frames_per_epoch
+            timer.tick()
+        # The just-trained (last) epoch and its start-frame count — what
+        # the reference's per-epoch loop logs at eval points.
+        epoch = frames // frames_per_epoch - 1
+        frames_log = frames - frames_per_epoch
 
         if (epoch + 1) % flags.eval_frequency == 0:
             if (flags.essential_save_only and stats_util.is_essential_save(
@@ -381,10 +420,10 @@ def run(flags, mode="precomputed"):
 
             loss = float(metrics["loss"])
             gnorm = float(metrics["gradient_norm"])
-            stats[to_env]["frames"].append(frames)
+            stats[to_env]["frames"].append(frames_log)
             stats[to_env]["training_loss"].append(loss)
             stats[to_env]["gradient_norm"].append(gnorm)
-            print("   frames", frames)
+            print("   frames", frames_log)
             print("   training loss", loss)
             print("   gradient norm", gnorm)
 

@@ -111,6 +111,54 @@ def make_train_step_fused_gather(opt, unroll_length, *, batch_norm=False,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_train_step_chunked(opt, unroll_length, *, batch_norm=False,
+                            conv_policy=False, max_grad_norm=40.0,
+                            donate=True, mesh=None):
+    """K train epochs in ONE device dispatch.
+
+    ``lax.scan`` over a (K, B) block of pre-sampled unroll starts, each
+    scan iteration being exactly the fused-gather step body — the host
+    samples the same start indices from the same RNG stream, just K
+    epochs at a time, so the math and batch order are identical to K
+    sequential ``make_train_step_fused_gather`` calls (equivalence is
+    unit-tested).  Purpose: per-dispatch latency through the TPU tunnel
+    (~24 ms per blocking fetch, CLAUDE.md) dominates the small BC step;
+    one dispatch per eval block instead of per epoch removes it.
+
+    Returns jitted chunk(state, data, starts_block) -> (state, metrics)
+    where starts_block is (K, B) int32 and metrics are from the LAST
+    epoch in the block (matching what the per-epoch loop logs at eval
+    points, main_bc_2.py:230-233).
+    """
+    apply_fn = (policy_mod.apply_conv_policy if conv_policy
+                else policy_mod.apply_policy)
+
+    def chunk(state, data, starts_block):
+        n = data["action"].shape[0]
+
+        def body(carry, starts):
+            idx = (starts[None, :]
+                   + jnp.arange(unroll_length)[:, None]) % n
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            if mesh is not None:
+                from jax.sharding import NamedSharding
+
+                from pvr_habitat_tpu.parallel import mesh as pmesh
+
+                batch = {
+                    k: jax.lax.with_sharding_constraint(
+                        v,
+                        NamedSharding(mesh, pmesh.shard_batch_spec(v.ndim)))
+                    for k, v in batch.items()}
+            return _step_body(carry, batch, opt, apply_fn, batch_norm,
+                              max_grad_norm)
+
+        state, metrics = jax.lax.scan(body, state, starts_block)
+        return state, {k: v[-1] for k, v in metrics.items()}
+
+    return jax.jit(chunk, donate_argnums=(0,) if donate else ())
+
+
 def _step_body(state, batch, opt, apply_fn, batch_norm, max_grad_norm):
     rng, sample_rng = jax.random.split(state.rng)
     t, b = batch["action"].shape

@@ -105,6 +105,11 @@ def build_parser():
                         choices=["auto", "always", "never"],
                         help="Keep the BC dataset resident in HBM and gather "
                              "unrolls on-device (auto = if it fits).")
+    parser.add_argument("--train_chunk", type=int, default=0,
+                        help="Train epochs per device dispatch (lax.scan "
+                             "block). 0 = auto: one eval block per dispatch "
+                             "when the dataset is device-resident; 1 = one "
+                             "dispatch per epoch (reference cadence).")
     return parser
 
 

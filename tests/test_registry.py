@@ -81,3 +81,43 @@ def test_uber_forward_concatenates():
                     .astype(np.float32))
     out = handle.apply_fn(handle.params, x)
     assert out.shape == (1, 2156 + 2058)
+
+
+def test_flat_artifact_does_not_shadow_pretrained_checkpoint(tmp_path):
+    """The bulk embedder persists '{data_path}/{name}.tar' in our flat
+    format (EmbeddingNet.save; reference save_embedded_obs.py:126-131).
+    For resnet50_l3 that filename equals its CHECKPOINT_FILES entry —
+    building the encoder with checkpoint_dir=data_path must skip the
+    artifact and reproduce the embed-time seeded init, not crash in
+    torch.load (study regression: corrupt-magic-number failure)."""
+    from pvr_habitat_tpu.models import convert
+
+    name = "resnet50_l3"
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = registry.build_encoder(name, pretrained=False)
+    convert.save_flat(str(tmp_path / "resnet50_l3.tar"),
+                      {"conv1.weight": np.zeros((1,), np.float32)},
+                      extra={"embedding_name": name})
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        handle = registry.build_encoder(name, pretrained=True,
+                                        checkpoint_dir=str(tmp_path))
+    np.testing.assert_array_equal(
+        np.asarray(handle.params["conv1.weight"]),
+        np.asarray(ref.params["conv1.weight"]))
+
+
+def test_corrupt_torch_checkpoint_falls_back_to_seeded_init(tmp_path):
+    """A non-torch file at a CHECKPOINT_FILES path warns and falls back
+    to the deterministic seeded init instead of raising."""
+    (tmp_path / "resnet50_l3.tar").write_bytes(b"not a torch checkpoint")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = registry.build_encoder("resnet50_l3", pretrained=False)
+    with pytest.warns(UserWarning, match="failed to load checkpoint"):
+        handle = registry.build_encoder("resnet50_l3", pretrained=True,
+                                        checkpoint_dir=str(tmp_path))
+    np.testing.assert_array_equal(
+        np.asarray(handle.params["conv1.weight"]),
+        np.asarray(ref.params["conv1.weight"]))

@@ -155,3 +155,84 @@ def test_fused_gather_on_mesh_matches_host_gather():
     np.testing.assert_allclose(
         np.asarray(state_a.params["policy.weight"]),
         np.asarray(state_b.params["policy.weight"]), atol=1e-6)
+
+
+def test_chunked_step_matches_sequential_fused_gather():
+    """One lax.scan chunk of K epochs must reproduce K sequential
+    fused-gather steps exactly: same final params, same last-epoch
+    metrics (the chunked trainer logs the block's last metrics,
+    main_bc_2.py:230-233)."""
+    rng = np.random.RandomState(0)
+    t, obs_size, num_actions, n, k_epochs = 6, 16, 3, 64, 5
+    flags = default_flags(learning_rate=1e-3)
+    data = {
+        "obs": jnp.asarray(rng.randn(n, obs_size).astype(np.float32)),
+        "action": jnp.asarray(
+            rng.randint(0, num_actions, size=n).astype(np.int32)),
+        "done": jnp.asarray(rng.rand(n) < 0.1),
+    }
+    starts_block = rng.randint(0, n, size=(k_epochs, B)).astype(np.int32)
+
+    def fresh_state():
+        return bc_step.create_train_state(
+            np.random.RandomState(1), (obs_size,), num_actions, flags,
+            max_epochs=10, seed=3)
+
+    state_a, opt_a = fresh_state()
+    step = bc_step.make_train_step_fused_gather(opt_a, t, donate=False)
+    for starts in starts_block:
+        state_a, metrics_a = step(state_a, data, jnp.asarray(starts))
+
+    state_b, opt_b = fresh_state()
+    chunk = bc_step.make_train_step_chunked(opt_b, t, donate=False)
+    state_b, metrics_b = chunk(state_b, data, jnp.asarray(starts_block))
+
+    np.testing.assert_allclose(float(metrics_a["loss"]),
+                               float(metrics_b["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(metrics_a["gradient_norm"]),
+                               float(metrics_b["gradient_norm"]), rtol=1e-6)
+    for key in state_a.params:
+        np.testing.assert_allclose(
+            np.asarray(state_a.params[key]),
+            np.asarray(state_b.params[key]), atol=1e-6, err_msg=key)
+    np.testing.assert_array_equal(np.asarray(state_a.rng),
+                                  np.asarray(state_b.rng))
+
+
+def test_chunked_step_on_mesh_compiles_and_matches():
+    """Chunked scan under the (4,2) mesh: same result as the unmeshed
+    chunk (dataset replicated, per-step batch constrained to DP lanes)."""
+    from pvr_habitat_tpu.parallel import mesh as pmesh
+
+    rng = np.random.RandomState(0)
+    t, obs_size, num_actions, n, k_epochs = 6, 16, 3, 64, 3
+    flags = default_flags(learning_rate=1e-3)
+    data_host = dict(
+        obs=rng.randn(n, obs_size).astype(np.float32),
+        action=rng.randint(0, num_actions, size=n).astype(np.int32),
+        done=(rng.rand(n) < 0.1),
+    )
+    starts_block = rng.randint(0, n, size=(k_epochs, 8)).astype(np.int32)
+
+    def fresh_state():
+        return bc_step.create_train_state(
+            np.random.RandomState(1), (obs_size,), num_actions, flags,
+            max_epochs=10, seed=3)
+
+    state_a, opt_a = fresh_state()
+    chunk_a = bc_step.make_train_step_chunked(opt_a, t, donate=False)
+    state_a, _ = chunk_a(state_a, {k: jnp.asarray(v)
+                                   for k, v in data_host.items()},
+                         jnp.asarray(starts_block))
+
+    mesh = pmesh.make_mesh((4, 2))
+    state_b, opt_b = fresh_state()
+    dev_data = pmesh.replicate(mesh, {k: jnp.asarray(v)
+                                      for k, v in data_host.items()})
+    chunk_b = bc_step.make_train_step_chunked(opt_b, t, donate=False,
+                                              mesh=mesh)
+    state_b, _ = chunk_b(state_b, dev_data, jnp.asarray(starts_block))
+
+    np.testing.assert_allclose(
+        np.asarray(state_a.params["policy.weight"]),
+        np.asarray(state_b.params["policy.weight"]), atol=1e-6)
