@@ -294,6 +294,14 @@ def run(flags, mode="precomputed"):
     stat_keys = list(stats_util.STAT_KEYS)
     # Trainer-owned cache for per-run jitted eval state (fused runner).
     eval_cache = {}
+    # The encoder is frozen during BC training: fetch its state_dict to
+    # host ONCE and reuse it at every checkpoint boundary.  The
+    # reference re-serializes embedding_model.state_dict() per save
+    # (main_bc_2.py:255) — free on torch/CPU, but through the TPU
+    # tunnel it would re-download up to 343 MB (mae) per eval block.
+    # File contents are identical.
+    embedding_state_host = (embedding_model.state_dict()
+                            if embedding_model is not None else None)
 
     def make_runner():
         return PolicyRunner(state.params, state.batch_stats,
@@ -435,8 +443,7 @@ def run(flags, mode="precomputed"):
                     actor_batch_stats=state.batch_stats,
                     opt_state=state.opt_state,
                     flags=flags,
-                    embedding_state=embedding_model.state_dict()
-                    if embedding_model is not None else None)
+                    embedding_state=embedding_state_host)
 
     profile_ctx.__exit__(None, None, None)
     env.close()
