@@ -201,3 +201,28 @@ def test_bc_true_state_runs(workdir, embedded_data):
     flags.save_path = os.path.join(str(workdir), "bcts")
     stats = bc_run(flags, mode="precomputed")
     assert np.isfinite(stats[ENV]["training_loss"][-1])
+
+
+@pytest.mark.slow
+def test_bc_chunked_matches_per_epoch(workdir, embedded_data):
+    """Full-run gold equivalence: the chunked trainer (lax.scan blocks,
+    clamped at eval boundaries) must reproduce the per-epoch trainer's
+    whole stats trajectory — losses, grad norms, eval returns — since
+    the math and host RNG stream are identical."""
+    flags_a = _bc_flags(workdir)
+    flags_a.save_path = os.path.join(str(workdir), "bc_seq")
+    flags_a.train_chunk = 1           # one dispatch per epoch
+    stats_a = bc_run(flags_a, mode="precomputed")[ENV]
+
+    flags_b = _bc_flags(workdir)
+    flags_b.save_path = os.path.join(str(workdir), "bc_chunk")
+    flags_b.train_chunk = 2           # blocks of 2 against eval_frequency 3
+    stats_b = bc_run(flags_b, mode="precomputed")[ENV]
+
+    assert stats_a["frames"] == stats_b["frames"]
+    np.testing.assert_allclose(stats_a["training_loss"],
+                               stats_b["training_loss"], rtol=1e-5)
+    np.testing.assert_allclose(stats_a["gradient_norm"],
+                               stats_b["gradient_norm"], rtol=1e-5)
+    np.testing.assert_allclose(stats_a["episode_return"],
+                               stats_b["episode_return"], rtol=1e-5)
