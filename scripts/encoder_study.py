@@ -133,10 +133,21 @@ def run_completed(workdir, scene, encoder, run_id):
     return stats["frames"][-1] >= MAX_FRAMES - BATCH * UNROLL
 
 
+FINAL_WINDOW = 7  # real evals inside the 97%-mark essential window
+
+
 def collate(workdir, scene, run_ids, encoders=None):
+    """Per-encoder summary over seeds.
+
+    Headline statistic: mean success over the FINAL_WINDOW last real
+    eval points of each seed (30 episodes each; a single point has
+    binomial se ~±0.055 at p=0.1, the window mean ~±0.02), plus the
+    final teacher-forced NLL — the low-noise secondary axis.  The
+    reference's errorbar plots aggregate the same essential-save points
+    (slurm_bc.py grid + main_bc_2 essential-save protocol)."""
     rows = []
     for encoder in (encoders or ENCODERS):
-        finals, curves = [], []
+        finals, losses, curves = [], [], []
         for run_id in run_ids:
             path = stats_path(workdir, scene, encoder, run_id)
             if not os.path.isfile(path):
@@ -146,20 +157,22 @@ def collate(workdir, scene, run_ids, encoders=None):
             succ = [v for v in s["episode_success"]
                     if not (isinstance(v, float) and np.isnan(v))]
             if succ:
-                finals.append(max(succ[-2:]) if len(succ) >= 2
-                              else succ[-1])
+                finals.append(float(np.mean(succ[-FINAL_WINDOW:])))
+                losses.append(float(s["training_loss"][-1]))
                 curves.append([round(float(v), 2) for v in succ])
-        rows.append((encoder, finals, curves))
+        rows.append((encoder, finals, losses, curves))
     print(f"\n=== encoder study: {scene}, {MAX_FRAMES / 1e6:.1f}M frames, "
           f"seeds {list(run_ids)} ===")
-    print(f"{'encoder':14} {'n':>2} {'success mean+-std':>20}  per-seed")
-    for encoder, finals, curves in rows:
+    print(f"{'encoder':14} {'n':>2} {'success mean+-std':>20} "
+          f"{'final NLL':>10}  per-seed window means")
+    for encoder, finals, losses, curves in rows:
         if not finals:
             print(f"{encoder:14}  0  {'(no completed runs)':>20}")
             continue
         mean, std = float(np.mean(finals)), float(np.std(finals))
-        print(f"{encoder:14} {len(finals):>2} {mean:10.3f} +- {std:.3f}  "
-              f"{[round(f, 2) for f in finals]}")
+        print(f"{encoder:14} {len(finals):>2} {mean:10.3f} +- {std:.3f} "
+              f"{float(np.mean(losses)):10.3f}  "
+              f"{[round(f, 3) for f in finals]}")
     return rows
 
 
