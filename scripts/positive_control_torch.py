@@ -153,6 +153,10 @@ def main():
                         help="Write the torch history pickle here.")
     args = parser.parse_args()
 
+    from pvr_habitat_tpu.utils.platform import configure_platform
+
+    configure_platform()  # honor PVR_TPU_PLATFORM before backend init
+
     flags = default_flags(
         env=args.env, to_env=args.env, data_path=args.workdir,
         embedding_name="random", batch_size=32, unroll_length=100,
