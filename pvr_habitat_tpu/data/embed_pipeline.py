@@ -39,29 +39,12 @@ class ShardedEmbedder:
         self._int8_spec = None
         self._int8_apply = None
         if quantize:
-            from pvr_habitat_tpu.models.registry import _resnet_family
-            from pvr_habitat_tpu.ops import quantize as q
+            from pvr_habitat_tpu.models.registry import int8_serving_fns
 
-            family = _resnet_family(embedding_name)
-            if family is not None:
-                from pvr_habitat_tpu.models import resnet as resnet_mod
-
-                spec = family[0]
-                self._int8_apply = (
-                    lambda p, x, scales: resnet_mod.apply_int8(
-                        p, x, spec, scales=scales))
-            elif embedding_name == "clip_rn50":
-                from pvr_habitat_tpu.models import clip as clip_mod
-
-                self._int8_apply = (
-                    lambda p, x, scales: clip_mod.clip_rn50_apply_int8(
-                        p, x, scales=scales))
-            else:
-                raise NotImplementedError(
-                    f"int8 serving covers the ResNet families and "
-                    f"clip_rn50, not '{embedding_name}'")
+            quantize_params, self._int8_apply = int8_serving_fns(
+                embedding_name)
             self._int8_spec = True
-            params = q.quantize_resnet_params(params)
+            params = quantize_params(params)
         elif compute_dtype == jnp.bfloat16:
             params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
                                   if x.dtype == jnp.float32 else x, params)
@@ -184,7 +167,11 @@ class ShardedEmbedder:
             global_chunk = multihost.global_array_from_local(
                 self.mesh, chunk)
             out = self._run_forward(global_chunk)
-            outputs.append(multihost.local_rows_from_global(out))
+            # The int8 path computes (and fetches) bf16 to halve tunnel
+            # bytes; the documented contract is f32 rows (embed_all
+            # casts in its fetch leg — mirror it here).
+            outputs.append(
+                multihost.local_rows_from_global(out).astype(np.float32))
         if not outputs:
             return np.zeros((0, self.out_size), np.float32)
         return np.concatenate(outputs)[:n]

@@ -136,13 +136,13 @@ def _load_or_init_resnet(name, spec, surgery, pretrained, checkpoint_dir,
                          seed):
     path = _find_checkpoint(name, checkpoint_dir) if pretrained else None
     if path is not None:
+        # The whole load -> surgery -> flatten -> key-check chain falls
+        # back to the seeded init: a torch-loadable file with FOREIGN
+        # keys (e.g. a moco file copied to a resnet name) fails in
+        # surgery/check_expected, not in torch.load, and must not crash
+        # a whole study run any more than a corrupt file would.
         try:
             ckpt = convert.load_torch_checkpoint(path)
-        except Exception as exc:  # corrupt/foreign file: seeded init
-            warnings.warn(
-                f"encoder '{name}': failed to load checkpoint {path} "
-                f"({exc}); using the seeded random init instead")
-        else:
             state_dict = ckpt.get("state_dict", ckpt)
             state_dict = surgery(state_dict)
             flat = convert.torch_state_dict_to_flat(state_dict)
@@ -151,6 +151,10 @@ def _load_or_init_resnet(name, spec, surgery, pretrained, checkpoint_dir,
             params = {k: v for k, v in flat.items() if k in expected}
             convert.check_expected(params, expected, context=name)
             return params
+        except Exception as exc:  # corrupt/foreign/mismatched file
+            warnings.warn(
+                f"encoder '{name}': failed to load checkpoint {path} "
+                f"({exc}); using the seeded random init instead")
     if pretrained and name != "random":
         warnings.warn(
             f"encoder '{name}': checkpoint "
@@ -180,6 +184,41 @@ def _resnet_family(name):
     if name.startswith("moco_"):
         return resnet.ResNetSpec(50), convert.moco_encoder_q
     return None
+
+
+def int8_serving_fns(name):
+    """name -> (quantize_params, apply_int8) for the W8A8 serving zoo:
+    every ResNet family (bottleneck AND basic-block), clip_rn50, and
+    the MAE ViTs (the ViT int8 path is a measured NEGATIVE result kept
+    drivable for re-A/B; docs/DESIGN.md hypothesis 4).
+
+    ``apply_int8(params_q, x, scales) -> (out, scales)``; pass
+    ``scales=None`` to calibrate on that batch.  Single source of truth
+    for the int8 family dispatch (ShardedEmbedder, bench.py,
+    scripts/bench_zoo.py all route here)."""
+    from pvr_habitat_tpu.ops import quantize as q
+
+    family = _resnet_family(name)
+    if family is not None:
+        spec = family[0]
+        return (q.quantize_resnet_params,
+                lambda p, x, scales: resnet.apply_int8(
+                    p, x, spec, scales=scales))
+    if name == "clip_rn50":
+        from pvr_habitat_tpu.models import clip as clip_mod
+
+        return (q.quantize_resnet_params,
+                lambda p, x, scales: clip_mod.clip_rn50_apply_int8(
+                    p, x, scales=scales))
+    if name in ("mae_base", "mae_large", "mae_huge"):
+        from pvr_habitat_tpu.models import vit as vit_mod
+
+        _, depth, num_heads, patch = vit_mod.MAE_CONFIGS[name]
+        return (q.quantize_vit_params,
+                lambda p, x, scales: vit_mod.mae_apply_int8(
+                    p, x, depth=depth, num_heads=num_heads, patch=patch,
+                    scales=scales))
+    raise NotImplementedError(f"no int8 serving path for '{name}'")
 
 
 def build_encoder(name, *, pretrained=True, train=False, checkpoint_dir=None,

@@ -56,6 +56,15 @@ def attention_core():
     PVR_TPU_ATTENTION_CORE overrides; the legacy enable/disable vars
     keep working for the 'pallas' core."""
     core = os.environ.get("PVR_TPU_ATTENTION_CORE", "").strip().lower()
+    if core and core not in ("einsum", "pallas", "flash"):
+        # A typo'd core name must not silently A/B the wrong kernel —
+        # the libtpu re-A/B policy depends on knowing what actually ran.
+        import warnings
+
+        warnings.warn(
+            f"PVR_TPU_ATTENTION_CORE={core!r} is not one of "
+            "einsum/pallas/flash; ignoring it (legacy enable/disable "
+            "vars route below)")
     if core in ("einsum", "pallas", "flash"):
         # The kill switch must neutralize EVERY Pallas kernel core
         # ('flash' is jax's stock Pallas kernel) — it is the documented

@@ -144,36 +144,50 @@ class EmbeddingServer:
                     batch.append(nxt)
                     total += nxt[0].shape[0]
             # One device dispatch per FRAME SHAPE: requests with
-            # different (H, W, C) cannot share a batch.
+            # different (H, W, C) cannot share a batch.  Compute all
+            # groups first, then send in ARRIVAL order — a connection
+            # that pipelines two different-shaped requests must get its
+            # responses back in request order (the wire protocol has no
+            # request ids for the client to re-pair them).
             groups = {}
-            for item in batch:
-                groups.setdefault(item[0].shape[1:], []).append(item)
+            for idx, item in enumerate(batch):
+                groups.setdefault(item[0].shape[1:], []).append(
+                    (idx, item))
+            replies = {}
             for group in groups.values():
-                self._serve_batch(group)
+                replies.update(self._compute_batch(group))
+            for idx in sorted(replies):
+                conn, payload = replies[idx]
+                try:
+                    conn.sendall(payload)
+                except (ConnectionError, OSError):
+                    conn.close()
 
-    def _serve_batch(self, batch):
-        frames = np.concatenate([b[0] for b in batch], axis=0)
+    def _compute_batch(self, batch):
+        """batch: [(idx, (frames, conn))] sharing one frame shape ->
+        {idx: (conn, response bytes)}; failed batches close their
+        connections and contribute nothing."""
+        frames = np.concatenate([b[0] for _, b in batch], axis=0)
         try:
             out = np.asarray(self.net(frames), np.float32).reshape(
                 frames.shape[0], -1)
         except Exception:  # noqa: BLE001 — one bad batch must not
             # kill the dispatcher; drop the offending connections so
             # their clients see EOF instead of hanging forever.
-            for _, conn in batch:
+            for _, (_, conn) in batch:
                 conn.close()
-            return
+            return {}
         self.requests_served += len(batch)
         self.batches_served += 1
+        replies = {}
         row = 0
-        for req_frames, conn in batch:
+        for idx, (req_frames, conn) in batch:
             n = req_frames.shape[0]
             part = np.ascontiguousarray(out[row:row + n])
             row += n
-            try:
-                conn.sendall(_RSP.pack(n, part.shape[1])
-                             + part.tobytes())
-            except (ConnectionError, OSError):
-                pass  # client went away; keep serving the others
+            replies[idx] = (conn, _RSP.pack(n, part.shape[1])
+                            + part.tobytes())
+        return replies
 
 
 class EmbeddingClient:

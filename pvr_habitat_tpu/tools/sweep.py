@@ -156,6 +156,7 @@ class SubmititExecutor:
 
         cls = submitit.LocalExecutor if local else submitit.SlurmExecutor
         self._executor = cls(folder=folder)
+        self._local = local
         self.partition = "devlab" if debug else partition
         self.kind = kind
         self.constraint = constraint
@@ -184,7 +185,14 @@ class SubmititExecutor:
         return spec
 
     def submit(self, fn, flags):
-        self._executor.update_parameters(**self.job_spec(flags))
+        spec = self.job_spec(flags)
+        if self._local:
+            # submitit.LocalExecutor rejects Slurm-only parameters
+            # (partition/mem/job_name/...) with "unexpected parameters";
+            # translate the spec to the keys it understands.
+            spec = dict(timeout_min=spec["time"],
+                        tasks_per_node=spec["ntasks_per_node"])
+        self._executor.update_parameters(**spec)
         return self._executor.submit(fn, flags).job_id
 
 

@@ -19,36 +19,13 @@ import jax.numpy as jnp
 
 
 def _int8_apply_fn(name, params):
-    """W8A8 serving body for the quantizable zoo members — every ResNet
-    family (bottleneck AND basic-block), clip_rn50, and the MAE ViTs
-    (the ViT int8 path is a measured NEGATIVE result kept drivable for
-    re-A/B; see docs/DESIGN.md hypothesis 4)."""
-    from pvr_habitat_tpu.models.registry import _resnet_family
-    from pvr_habitat_tpu.ops import quantize as q
+    """W8A8 serving body for the quantizable zoo members — the family
+    dispatch lives in registry.int8_serving_fns (single source of
+    truth with ShardedEmbedder)."""
+    from pvr_habitat_tpu.models.registry import int8_serving_fns
 
-    family = _resnet_family(name)
-    if family is not None:
-        from pvr_habitat_tpu.models import resnet as resnet_mod
-
-        spec = family[0]
-        return (q.quantize_resnet_params(params),
-                lambda p, x, scales: resnet_mod.apply_int8(
-                    p, x, spec, scales=scales))
-    if name == "clip_rn50":
-        from pvr_habitat_tpu.models import clip as clip_mod
-
-        return (q.quantize_resnet_params(params),
-                lambda p, x, scales: clip_mod.clip_rn50_apply_int8(
-                    p, x, scales=scales))
-    if name in ("mae_base", "mae_large", "mae_huge"):
-        from pvr_habitat_tpu.models import vit as vit_mod
-
-        _, depth, num_heads, patch = vit_mod.MAE_CONFIGS[name]
-        return (q.quantize_vit_params(params),
-                lambda p, x, scales: vit_mod.mae_apply_int8(
-                    p, x, depth=depth, num_heads=num_heads, patch=patch,
-                    scales=scales))
-    raise NotImplementedError(f"no int8 serving path for '{name}'")
+    quantize_params, apply_q = int8_serving_fns(name)
+    return quantize_params(params), apply_q
 
 
 def bench_one(name, batch_size, iters, warmup, dtype=jnp.bfloat16,

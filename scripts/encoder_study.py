@@ -40,7 +40,6 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 ENCODERS = ["resnet50", "resnet50_l3", "mae_base", "random", "true_state"]
-PRECOMPUTED = ["resnet50", "resnet50_l3", "mae_base"]  # bulk-embedded once
 
 # Budget: batch 32 x unroll 100 x 3000 epochs = 9.6M frames, lr 1e-3 —
 # the regime where round-2 single-encoder runs showed success rising

@@ -97,7 +97,10 @@ def collate(results, seeds):
     print(f"\n=== re-eval ({len(results)} runs) ===")
     print(f"{'encoder':14} {'n':>2} {'success mean+-se':>18} "
           f"{'return':>8} {'steps':>7}  per-seed")
-    for encoder in ENCODERS:
+    # Report every encoder present in the results (not just the default
+    # study list): --encoders additions must show up in the collation.
+    extras = sorted({e for e, _ in results} - set(ENCODERS))
+    for encoder in ENCODERS + extras:
         per_seed = [results[(encoder, s)] for s in seeds
                     if (encoder, s) in results]
         if not per_seed:

@@ -95,6 +95,46 @@ def test_wrapper_integration(server):
     client.close()
 
 
+def test_pipelined_mixed_shapes_keep_request_order(server):
+    """A connection that pipelines requests with DIFFERENT frame shapes
+    must get responses back in request order — the wire protocol has no
+    request ids, so shape-grouped dispatch must not reorder them."""
+    import socket
+    import struct
+
+    from pvr_habitat_tpu.tools.serve_embeddings import _HDR, _RSP
+
+    net = EmbeddingNet("random", pretrained=False)
+    rng = np.random.RandomState(30)
+    reqs = [rng.randint(0, 256, size=(2, hw, hw, 3), dtype=np.uint8)
+            for hw in (32, 64, 32)]
+
+    conn = socket.create_connection(server.address, timeout=60)
+    try:
+        struct.unpack("<I", _recv(conn, 4))  # handshake: out_size
+        for frames in reqs:                  # pipeline all three
+            conn.sendall(_HDR.pack(*frames.shape) + frames.tobytes())
+        for frames in reqs:
+            n, d = _RSP.unpack(_recv(conn, _RSP.size))
+            assert n == frames.shape[0]
+            out = np.frombuffer(_recv(conn, 4 * n * d),
+                                np.float32).reshape(n, d)
+            np.testing.assert_allclose(out, net(frames),
+                                       atol=1e-4, rtol=1e-4)
+        conn.sendall(_HDR.pack(0, 0, 0, 0))
+    finally:
+        conn.close()
+
+
+def _recv(conn, n):
+    buf = b""
+    while len(buf) < n:
+        r = conn.recv(n - len(buf))
+        assert r, "server closed mid-response"
+        buf += r
+    return buf
+
+
 def test_shape_mismatch_does_not_kill_dispatcher(server):
     """Requests with different frame shapes must not share a batch nor
     crash the dispatcher (they are grouped per shape)."""

@@ -36,11 +36,24 @@ class FakeSlurmExecutor:
         return FakeJob(len(self.submitted))
 
 
+class FakeLocalExecutor(FakeSlurmExecutor):
+    """Mirrors real submitit: LocalExecutor rejects Slurm-only keys."""
+
+    _VALID = {"timeout_min", "tasks_per_node", "gpus_per_node",
+              "nodes", "stderr_to_stdout"}
+
+    def update_parameters(self, **kwargs):
+        unexpected = set(kwargs) - self._VALID
+        if unexpected:
+            raise NameError(f"unexpected parameters: {unexpected}")
+        super().update_parameters(**kwargs)
+
+
 @pytest.fixture()
 def fake_submitit(monkeypatch):
     mod = types.ModuleType("submitit")
     mod.SlurmExecutor = FakeSlurmExecutor
-    mod.LocalExecutor = FakeSlurmExecutor
+    mod.LocalExecutor = FakeLocalExecutor
     monkeypatch.setitem(sys.modules, "submitit", mod)
     return mod
 
@@ -96,6 +109,16 @@ def test_submit_updates_parameters_per_job(fake_submitit):
     assert ex.submit(lambda fl: None, f2) == "fake-2"
     mems = [u["mem"] for u in ex._executor.updates]
     assert mems == ["32GB", "32GB"]   # 16*2 scenes; 16*1*2 uber
+
+
+def test_local_executor_translates_spec(fake_submitit):
+    """local=True must not feed Slurm-only parameters to
+    submitit.LocalExecutor (real submitit raises NameError)."""
+    ex = _executor(partition="p", local=True)
+    flags = default_flags(env="a", to_env="a", embedding_name="resnet50")
+    assert ex.submit(lambda fl: None, flags) == "fake-1"
+    (update,) = ex._executor.updates
+    assert update == {"timeout_min": 4319, "tasks_per_node": 1}
 
 
 def test_sweep_routes_runners_through_submitit(fake_submitit, tmp_path):
