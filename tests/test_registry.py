@@ -121,3 +121,35 @@ def test_corrupt_torch_checkpoint_falls_back_to_seeded_init(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(handle.params["conv1.weight"]),
         np.asarray(ref.params["conv1.weight"]))
+
+
+def test_foreign_keys_checkpoint_falls_back_to_seeded_init(tmp_path):
+    """A torch-LOADABLE checkpoint whose keys do not match the encoder
+    (e.g. a file copied to the wrong name) fails in surgery/key-check,
+    not in torch.load — that too must warn + fall back, not crash a
+    study run."""
+    import torch
+
+    torch.save({"state_dict": {"some.other.model.weight":
+                               torch.zeros(1)}},
+               str(tmp_path / "resnet50_l3.tar"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = registry.build_encoder("resnet50_l3", pretrained=False)
+    with pytest.warns(UserWarning, match="failed to load checkpoint"):
+        handle = registry.build_encoder("resnet50_l3", pretrained=True,
+                                        checkpoint_dir=str(tmp_path))
+    np.testing.assert_array_equal(
+        np.asarray(handle.params["conv1.weight"]),
+        np.asarray(ref.params["conv1.weight"]))
+
+
+def test_int8_serving_dispatch_covers_the_quantizable_zoo():
+    """registry.int8_serving_fns is the single source of truth for the
+    W8A8 family dispatch (ShardedEmbedder, bench_zoo route here)."""
+    for name in ("resnet18", "resnet50", "resnet50_l3", "moco_aug",
+                 "clip_rn50", "mae_base"):
+        quantize_params, apply_q = registry.int8_serving_fns(name)
+        assert callable(quantize_params) and callable(apply_q), name
+    with pytest.raises(NotImplementedError):
+        registry.int8_serving_fns("true_state")
