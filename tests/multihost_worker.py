@@ -47,6 +47,7 @@ def main():
         0, 256, size=(n, 64, 64, 3), dtype=np.uint8)
     start, stop = multihost.process_slice(n)
     local = embedder.embed_local(frames[start:stop])
+    assert local.dtype == np.float32, local.dtype  # documented contract
     np.savez(out_path, local=local, start=start, stop=stop)
     print(f"rank {rank}: rows [{start}, {stop}) ok")
 
