@@ -184,6 +184,13 @@ def main():
     parser.add_argument("--collate", action="store_true",
                         help="Only collate whatever runs are complete.")
     parser.add_argument("--bc_timeout", type=int, default=5400)
+    parser.add_argument("--abort_on_fail", type=int, default=0,
+                        help="Abort the pass after N consecutive BC "
+                             "failures (0 = keep going). A wedged TPU "
+                             "tunnel fails every run the same way "
+                             "(~25 min each at backend init), so an "
+                             "outer retry loop wants the pass to cost "
+                             "one failure, not the whole grid.")
     parser.add_argument("--encoders", type=str, default="",
                         help="Comma list overriding the default five.")
     args = parser.parse_args()
@@ -215,6 +222,7 @@ def main():
     # NOTE: true_state must come after the resnet50 embed stage — it
     # reads the resnet50-named pickle's true_state field
     # (reference main_bc_2.py:115-119; train/bc.py _load_precomputed).
+    consecutive_failures = 0
     for run_id in run_ids:
         for encoder in encoders:
             if run_completed(args.workdir, args.scene, encoder, run_id):
@@ -224,6 +232,13 @@ def main():
                     timeout=args.bc_timeout, log=log)
             print(f"bc {encoder} s{run_id}: rc={rc} "
                   f"+{time.time() - t0:.0f}s", flush=True)
+            consecutive_failures = 0 if rc == 0 else consecutive_failures + 1
+            if args.abort_on_fail and \
+                    consecutive_failures >= args.abort_on_fail:
+                print(f"ABORT pass: {consecutive_failures} consecutive "
+                      "BC failures (tunnel likely wedged)", flush=True)
+                collate(args.workdir, args.scene, run_ids, encoders)
+                sys.exit(3)
 
     collate(args.workdir, args.scene, run_ids, encoders)
 
