@@ -48,6 +48,16 @@ def _load_results(path):
     return {}
 
 
+def ckpt_opt_count(path):
+    """Optimizer step count inside the .tar — the run's training
+    progress.  The re-eval cache keys on it so a checkpoint re-evaled
+    mid-budget (tunnel outage pauses) is re-evaluated once the run has
+    trained further, instead of the stale entry sticking forever."""
+    with open(path, "rb") as handle:
+        payload = pickle.load(handle)
+    return int(payload["actor_model_optimizer_state_dict"]["count"])
+
+
 def reeval_one(workdir, scene, encoder, run_id, n_episodes, eval_batch):
     """One checkpoint -> mean stats dict via the trainer's eval stack."""
     from pvr_habitat_tpu.envs.environment import make_environment
@@ -145,16 +155,19 @@ def main():
     for run_id in seeds:
         for encoder in encoders:
             key = (encoder, run_id)
-            if key in results:
-                print(f"skip {key} (done)", flush=True)
-                continue
-            if not os.path.isfile(_ckpt_path(args.workdir, args.scene,
-                                             encoder, run_id)):
+            path = _ckpt_path(args.workdir, args.scene, encoder, run_id)
+            if not os.path.isfile(path):
                 print(f"skip {key} (no checkpoint)", flush=True)
+                continue
+            count = ckpt_opt_count(path)
+            if key in results and \
+                    results[key].get("_opt_count", count) == count:
+                print(f"skip {key} (done @{count})", flush=True)
                 continue
             t0 = time.time()
             stats = reeval_one(args.workdir, args.scene, encoder, run_id,
                                args.n_episodes, args.eval_batch)
+            stats["_opt_count"] = count
             results[key] = stats
             with open(out + ".tmp", "wb") as handle:
                 pickle.dump(results, handle)
