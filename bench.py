@@ -15,11 +15,15 @@ docs/DESIGN.md "Tunnel pathology"): the benchmark runs as a PARENT
 SUPERVISOR that never initializes JAX, launching each measurement
 attempt as a child subprocess.  Children emit per-phase telemetry to
 stderr (``BENCHPHASE <name> +<t>s``) and carry per-phase SIGALRM
-deadlines; the parent enforces a hard wall-clock kill per attempt,
-retries after a cool-down when the tunnel looks wedged (wedges are
-terminal-side and sometimes clear within a minute), falls back
-int8 -> bf16 when the fancy path itself fails, and ALWAYS prints
-exactly one JSON line on stdout within the global budget:
+deadlines; the parent enforces a hard wall-clock kill per attempt AND
+short init-phase kills (a child GIL-blocked in a wedged backend init
+never fires its own alarm — round-3 failure mode), retries after a
+cool-down when the tunnel looks wedged (wedges are terminal-side and
+sometimes clear within a minute), falls back int8 -> bf16 when the
+fancy path fails or after two wedge failures, persists the XLA
+compilation cache across attempts/processes (a warm cache turns any
+sub-minute healthy window into a capture), and ALWAYS prints exactly
+one JSON line on stdout within the global budget:
 
   {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N/10000}
 
@@ -68,6 +72,23 @@ RC_PHASE_TIMEOUT = 3
 
 # Phases whose failure implies the tunnel (not the compute path) is sick.
 WEDGE_PHASES = ("launch", "backend_init", "tiny_probe")
+
+# PARENT-side per-phase kill limits for the early wedge phases.  The
+# child's own SIGALRM cannot fire while it is blocked inside a C-level
+# RPC holding the GIL (exactly what a wedged `jax.devices()` does), so
+# round-3's attempt 1 sat 240 s in backend_init and burned the driver
+# budget (BENCH_r03.json).  A healthy init is ~10 s; the parent kills a
+# child lingering in these phases so a wedged attempt costs ~45 s and
+# several attempts fit in one driver budget.
+PARENT_PHASE_LIMITS = {"launch": 45.0, "backend_init": 45.0,
+                       "tiny_probe": 75.0}
+
+# Persistent XLA compilation cache shared across attempts/processes:
+# calibrate+compile_warmup dominate a cold healthy run (~180 s under
+# load); with a warm cache a sub-minute healthy tunnel window is enough
+# to capture.  Overridable for tests via PVR_BENCH_CACHE_DIR.
+DEFAULT_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
 
 
 def _emit(payload):
@@ -229,6 +250,10 @@ def run_child(args):
         if stub == "hang":
             _log(f"{PHASE_PREFIX} compile_warmup +0.0s")
             time.sleep(3600)
+        if stub == "init_hang":
+            # A wedged tunnel: blocked inside backend init, alarms dead.
+            _log(f"{PHASE_PREFIX} backend_init +0.0s")
+            time.sleep(3600)
         if stub == "wedge":
             _log(f"{PHASE_PREFIX} TIMEOUT in phase=tiny_probe +1.0s")
             return RC_PHASE_TIMEOUT
@@ -242,6 +267,19 @@ def run_child(args):
     ph.enter("backend_init")
     import numpy as np  # noqa: F401
     import jax
+
+    # Persistent compile cache BEFORE backend init (see DEFAULT_CACHE_DIR
+    # note): retries and the driver's end-of-round run reuse this
+    # session's compiled executables instead of recompiling for minutes.
+    cache_dir = os.environ.get("PVR_BENCH_CACHE_DIR", DEFAULT_CACHE_DIR)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        _log(f"  compile cache unavailable: {e}")
+
     import jax.numpy as jnp
     devices = jax.devices()
     _log(f"  devices={devices}")
@@ -317,7 +355,11 @@ def _launch_attempt(args, fused, deadline_s, stub_behavior=None,
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.PIPE, env=env, text=True)
 
-    last_phase = ["launch"]
+    start = time.time()
+    # [phase, entered_at] — the pump thread advances it, the wait loop
+    # below enforces PARENT_PHASE_LIMITS against it (the child's own
+    # alarms cannot fire while it is GIL-blocked in a wedged RPC).
+    last_phase = ["launch", start]
 
     def _pump_stderr():
         for line in proc.stderr:
@@ -329,24 +371,40 @@ def _launch_attempt(args, fused, deadline_s, stub_behavior=None,
                     last_phase[0] = (line.split("phase=")[-1].split()[0]
                                      + " (phase deadline)")
                 elif token != "done":
-                    last_phase[0] = token
+                    last_phase[:] = [token, time.time()]
 
     t = threading.Thread(target=_pump_stderr, daemon=True)
     t.start()
-    try:
-        proc.wait(timeout=deadline_s)
-        killed = False
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        proc.wait()
-        killed = True
+    killed = None  # descriptive string when the parent kills the child
+    while True:
+        try:
+            proc.wait(timeout=2.0)
+            break
+        except subprocess.TimeoutExpired:
+            pass
+        now = time.time()
+        override = os.environ.get("PVR_BENCH_INIT_LIMIT")
+        if now - start > deadline_s:
+            killed = f"killed at {deadline_s:.0f}s"
+        else:
+            phase, entered = last_phase
+            limit = PARENT_PHASE_LIMITS.get(phase)
+            if limit is not None and override:
+                limit = float(override)  # test hook
+            if limit is not None and now - entered > limit:
+                killed = (f"killed: stuck in {phase} "
+                          f"{now - entered:.0f}s > {limit:.0f}s")
+        if killed:
+            proc.kill()
+            proc.wait()
+            break
     t.join(timeout=5)
     stdout = proc.stdout.read()
     proc.stdout.close()
     proc.stderr.close()
 
     if killed:
-        return False, None, f"{last_phase[0]} (killed at {deadline_s:.0f}s)"
+        return False, None, f"{last_phase[0]} ({killed})"
     if proc.returncode == RC_OK:
         for line in stdout.splitlines():
             try:
@@ -372,33 +430,45 @@ def supervise(args):
         return stubs.pop(0) if stubs else None
 
     failures = []
-    max_attempts = 3
     fused = args.fused
-    for i in range(max_attempts):
-        if remaining() < 45:
-            break
+    wedge_failures = 0
+    i = 0
+    # Dynamic attempt count: with parent-side init-phase kills a wedged
+    # attempt costs ~45 s, so a 400 s budget fits 4+ attempts instead of
+    # round-3's two.  When stubs drive the supervisor (tests), the
+    # attempt count is exactly the stub list.
+    while remaining() >= 45 and not (stubs == [] and
+                                     os.environ.get("PVR_BENCH_STUB")):
+        i += 1
         # Cap the attempt so a failure still leaves room for a fallback.
         deadline = min(max(remaining() - 10, 40), args.attempt_deadline)
-        _log(f"[bench] attempt {i + 1}/{max_attempts} path={fused} "
+        _log(f"[bench] attempt {i} path={fused} "
              f"deadline={deadline:.0f}s budget_left={remaining():.0f}s")
         ok, payload, phase = _launch_attempt(args, fused, deadline,
                                              stub_behavior=next_stub())
         if ok:
             if failures:
-                payload["note"] = (f"attempt {i + 1} succeeded after: "
+                payload["note"] = (f"attempt {i} succeeded after: "
                                    + "; ".join(failures))
             _emit(payload)
             return 0
-        failures.append(f"attempt {i + 1} path={fused} died in {phase}")
+        failures.append(f"attempt {i} path={fused} died in {phase}")
         _log(f"[bench] {failures[-1]}")
         wedged = any(w in phase for w in WEDGE_PHASES)
         if wedged:
-            # The tunnel, not the path, failed: keep the path, cool down
-            # so a terminal-side wedge can clear.  (Short wedges do
-            # clear; long ones — renewed by killed in-flight RPCs —
-            # outlast any budget, and the sentinel says so.)
+            wedge_failures += 1
+            # The tunnel, not the path, failed.  After two wedge
+            # failures ALSO drop to the plain bf16 path: it has fewer
+            # compile/dispatch steps, so a brief healthy window late in
+            # the budget is more likely to yield a capture (a ~12 k bf16
+            # number beats a 0.0).  Cool down so a terminal-side wedge
+            # can clear (short wedges do; long ones — renewed by killed
+            # in-flight RPCs — outlast any budget, and the sentinel
+            # says so).
+            if wedge_failures >= 2:
+                fused = "off"
             if remaining() > 150:
-                cool = min(90, remaining() - 120)
+                cool = min(60, remaining() - 120)
                 _log(f"[bench] tunnel looks wedged; cooling down "
                      f"{cool:.0f}s")
                 time.sleep(max(cool, 0))

@@ -70,6 +70,64 @@ def apply(params, x, train=False):
     return jnp.transpose(y, (0, 3, 1, 2)).reshape(y.shape[0], -1)
 
 
+def _bottleneck_q(qs, x, p, prefix, stride):
+    from pvr_habitat_tpu.ops import quantize as q
+
+    identity = x
+    y = q.conv_q(qs, f"{prefix}.conv1", x, p, stride, 0,
+                 bias=q.affine_from_folded_bn(p, f"{prefix}.conv1.norm"))
+    y = jnp.maximum(y, 0)
+    y = q.conv_q(qs, f"{prefix}.conv2", y, p, 1, 1,
+                 bias=q.affine_from_folded_bn(p, f"{prefix}.conv2.norm"))
+    y = jnp.maximum(y, 0)
+    y = q.conv_q(qs, f"{prefix}.conv3", y, p, 1, 0,
+                 bias=q.affine_from_folded_bn(p, f"{prefix}.conv3.norm"))
+    if f"{prefix}.shortcut.weight" in p:
+        identity = q.conv_q(
+            qs, f"{prefix}.shortcut", x, p, stride, 0,
+            bias=q.affine_from_folded_bn(p, f"{prefix}.shortcut.norm"))
+    return jnp.maximum(y + identity, 0)
+
+
+def _basic_q(qs, x, p, prefix, stride):
+    from pvr_habitat_tpu.ops import quantize as q
+
+    identity = x
+    y = q.conv_q(qs, f"{prefix}.conv1", x, p, stride, 1,
+                 bias=q.affine_from_folded_bn(p, f"{prefix}.conv1.norm"))
+    y = jnp.maximum(y, 0)
+    y = q.conv_q(qs, f"{prefix}.conv2", y, p, 1, 1,
+                 bias=q.affine_from_folded_bn(p, f"{prefix}.conv2.norm"))
+    if f"{prefix}.shortcut.weight" in p:
+        identity = q.conv_q(
+            qs, f"{prefix}.shortcut", x, p, stride, 0,
+            bias=q.affine_from_folded_bn(p, f"{prefix}.shortcut.norm"))
+    return jnp.maximum(y + identity, 0)
+
+
+def apply_int8(params_q, x, scales=None):
+    """W8A8 serving path (opt-in; the parity grade stays f32/bf16).
+
+    Same 3x3-conv-bound C4 profile that makes resnet50 int8 win 1.5x
+    (VERDICT r3 #5).  params_q: quantize_resnet_params(fold_resnet_bn(
+    params)) — the FrozenBN '<conv>.norm' pairs fold like any eval-mode
+    BN.  scales=None calibrates on the batch; returns (out, scales)."""
+    from pvr_habitat_tpu.ops import quantize as q
+
+    qs = q.QuantState(scales)
+    y = q.conv_q(qs, "stem.conv1", x, params_q, 2, 3,
+                 bias=q.affine_from_folded_bn(params_q, "stem.conv1.norm"))
+    y = jnp.maximum(y, 0)
+    y = cm.max_pool(y, 3, 2, 1)
+    for stage, (blocks, _, _, stride) in STAGES.items():
+        for i in range(blocks):
+            y = _bottleneck_q(qs, y, params_q, f"{stage}.{i}",
+                              stride if i == 0 else 1)
+    y = _basic_q(qs, y, params_q, "res4.6", 1)
+    return jnp.transpose(y, (0, 3, 1, 2)).reshape(y.shape[0], -1), \
+        qs.scales
+
+
 def init_params(rng):
     out = {}
 

@@ -12,7 +12,9 @@ constructible (tests, dry-runs); a warning notes the fallback.
 
 import hashlib
 import os
+import pickle
 import warnings
+import zipfile
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -132,15 +134,27 @@ def _find_checkpoint(name, checkpoint_dir):
     return None
 
 
+# Errors the load -> surgery -> flatten -> key-check chain is EXPECTED
+# to raise on a corrupt or foreign checkpoint file: unpickling/zip
+# failures from torch.load, KeyError from surgery on missing prefixes,
+# ValueError from check_expected, OSError/EOFError on truncated files.
+# Anything else (MemoryError, bugs) must propagate.
+_EXPECTED_LOAD_ERRORS = (OSError, EOFError, KeyError, ValueError,
+                         RuntimeError, pickle.UnpicklingError,
+                         zipfile.BadZipFile)
+
+
 def _load_or_init_resnet(name, spec, surgery, pretrained, checkpoint_dir,
                          seed):
     path = _find_checkpoint(name, checkpoint_dir) if pretrained else None
     if path is not None:
-        # The whole load -> surgery -> flatten -> key-check chain falls
-        # back to the seeded init: a torch-loadable file with FOREIGN
-        # keys (e.g. a moco file copied to a resnet name) fails in
-        # surgery/check_expected, not in torch.load, and must not crash
-        # a whole study run any more than a corrupt file would.
+        # A torch-loadable file with FOREIGN keys (e.g. a moco file
+        # copied to a resnet name) fails in surgery/check_expected, not
+        # in torch.load.  Default: fail FAST — pretrained=True silently
+        # yielding random features would invalidate results (the
+        # reference errors here too, ADVICE r3).  Study/sweep drivers
+        # that prefer warn-and-continue semantics opt in with
+        # PVR_TPU_CKPT_FALLBACK=1.
         try:
             ckpt = convert.load_torch_checkpoint(path)
             state_dict = ckpt.get("state_dict", ckpt)
@@ -151,7 +165,13 @@ def _load_or_init_resnet(name, spec, surgery, pretrained, checkpoint_dir,
             params = {k: v for k, v in flat.items() if k in expected}
             convert.check_expected(params, expected, context=name)
             return params
-        except Exception as exc:  # corrupt/foreign/mismatched file
+        except _EXPECTED_LOAD_ERRORS as exc:
+            if os.environ.get("PVR_TPU_CKPT_FALLBACK") != "1":
+                raise RuntimeError(
+                    f"encoder '{name}': failed to load checkpoint "
+                    f"{path} ({exc}); set PVR_TPU_CKPT_FALLBACK=1 to "
+                    f"warn and fall back to the seeded random init "
+                    f"instead") from exc
             warnings.warn(
                 f"encoder '{name}': failed to load checkpoint {path} "
                 f"({exc}); using the seeded random init instead")
@@ -188,7 +208,8 @@ def _resnet_family(name):
 
 def int8_serving_fns(name):
     """name -> (quantize_params, apply_int8) for the W8A8 serving zoo:
-    every ResNet family (bottleneck AND basic-block), clip_rn50, and
+    every ResNet family (bottleneck AND basic-block), clip_rn50,
+    maskrcnn_l3 (detectron2 C4 backbone — same conv profile), and
     the MAE ViTs (the ViT int8 path is a measured NEGATIVE result kept
     drivable for re-A/B; docs/DESIGN.md hypothesis 4).
 
@@ -209,6 +230,12 @@ def int8_serving_fns(name):
 
         return (q.quantize_resnet_params,
                 lambda p, x, scales: clip_mod.clip_rn50_apply_int8(
+                    p, x, scales=scales))
+    if name == "maskrcnn_l3":
+        from pvr_habitat_tpu.models import maskrcnn as mask_mod
+
+        return (q.quantize_resnet_params,
+                lambda p, x, scales: mask_mod.apply_int8(
                     p, x, scales=scales))
     if name in ("mae_base", "mae_large", "mae_huge"):
         from pvr_habitat_tpu.models import vit as vit_mod

@@ -31,6 +31,10 @@ _CONV_FOR_BN = [
     (re.compile(r"^(?P<base>.*\.)?downsample\.1$"),
      lambda m: f"{m.group('base') or ''}downsample.0"),
     (re.compile(r"^bn1$"), lambda m: "conv1"),
+    # detectron2 naming (maskrcnn C4 backbone): '<conv>.norm.*' FrozenBN
+    # attached to '<conv>.weight' (reference maskrcnn.py via detectron2
+    # Conv2d(norm=FrozenBatchNorm2d)).
+    (re.compile(r"^(?P<conv>.*)\.norm$"), lambda m: m.group("conv")),
 ]
 
 

@@ -149,34 +149,50 @@ class EmbeddingServer:
             # that pipelines two different-shaped requests must get its
             # responses back in request order (the wire protocol has no
             # request ids for the client to re-pair them).
-            groups = {}
-            for idx, item in enumerate(batch):
-                groups.setdefault(item[0].shape[1:], []).append(
-                    (idx, item))
-            replies = {}
-            for group in groups.values():
-                replies.update(self._compute_batch(group))
-            for idx in sorted(replies):
-                conn, payload = replies[idx]
-                try:
-                    conn.sendall(payload)
-                except (ConnectionError, OSError):
-                    conn.close()
+            self._serve_window(batch)
+
+    def _serve_window(self, batch):
+        """Compute one micro-batch window (grouped per frame shape) and
+        deliver replies in ARRIVAL order.  On a connection with a failed
+        request, delivery stops at the failure point: the wire protocol
+        has no request ids, so a reply sent past a dropped one would be
+        mis-paired by the client.  Earlier successful replies still go
+        out (ADVICE r3), THEN the failed connections close (the client
+        sees its in-order replies followed by EOF)."""
+        groups = {}
+        for idx, item in enumerate(batch):
+            groups.setdefault(item[0].shape[1:], []).append((idx, item))
+        replies, failed = {}, {}
+        for group in groups.values():
+            group_replies, group_failed = self._compute_batch(group)
+            replies.update(group_replies)
+            for idx, conn in group_failed:
+                failed[conn] = min(idx, failed.get(conn, idx))
+        for idx in sorted(replies):
+            conn, payload = replies[idx]
+            if conn in failed and idx > failed[conn]:
+                continue
+            try:
+                conn.sendall(payload)
+            except (ConnectionError, OSError):
+                conn.close()
+        for conn in failed:
+            conn.close()
 
     def _compute_batch(self, batch):
         """batch: [(idx, (frames, conn))] sharing one frame shape ->
-        {idx: (conn, response bytes)}; failed batches close their
-        connections and contribute nothing."""
+        ({idx: (conn, response bytes)}, [(idx, conn)] for failures).
+        A failed forward fails every request in the group; the caller
+        decides delivery/close ordering across groups."""
         frames = np.concatenate([b[0] for _, b in batch], axis=0)
         try:
             out = np.asarray(self.net(frames), np.float32).reshape(
                 frames.shape[0], -1)
         except Exception:  # noqa: BLE001 — one bad batch must not
-            # kill the dispatcher; drop the offending connections so
-            # their clients see EOF instead of hanging forever.
-            for _, (_, conn) in batch:
-                conn.close()
-            return {}
+            # kill the dispatcher; report the offending requests so the
+            # dispatcher can close them after delivering earlier
+            # successful replies.
+            return {}, [(idx, conn) for idx, (_, conn) in batch]
         self.requests_served += len(batch)
         self.batches_served += 1
         replies = {}
@@ -187,7 +203,7 @@ class EmbeddingServer:
             row += n
             replies[idx] = (conn, _RSP.pack(n, part.shape[1])
                             + part.tobytes())
-        return replies
+        return replies, []
 
 
 class EmbeddingClient:

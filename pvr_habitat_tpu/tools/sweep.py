@@ -21,6 +21,7 @@ import os
 import pickle
 import subprocess
 import sys
+import warnings
 
 from pvr_habitat_tpu.utils import stats as stats_util
 from pvr_habitat_tpu.utils.flags import build_parser
@@ -199,10 +200,18 @@ class SubmititExecutor:
 def submitit_executor(partition, folder="./out/", **kwargs):
     """Back-compat shim for the round-2 API.  The old fixed
     timeout_min/mem_gb/cpus knobs are superseded by the per-job
-    reference specs (SubmititExecutor.job_spec) and accepted-but-
-    ignored here."""
-    for legacy in ("timeout_min", "mem_gb", "cpus"):
-        kwargs.pop(legacy, None)
+    reference specs (SubmititExecutor.job_spec); a caller that still
+    passes one gets a DeprecationWarning naming it (ADVICE r3: silently
+    replacing a deliberate shorter timeout / larger memory request with
+    the reference spec gave different Slurm resources with no signal)."""
+    ignored = [legacy for legacy in ("timeout_min", "mem_gb", "cpus")
+               if kwargs.pop(legacy, None) is not None]
+    if ignored:
+        warnings.warn(
+            f"submitit_executor: ignoring legacy resource knob(s) "
+            f"{', '.join(ignored)} — per-job resources now come from "
+            f"SubmititExecutor.job_spec (reference slurm_bc.py:191-205)",
+            DeprecationWarning, stacklevel=2)
     return SubmititExecutor(partition=partition, folder=folder, **kwargs)
 
 

@@ -160,8 +160,12 @@ def main():
                 print(f"skip {key} (no checkpoint)", flush=True)
                 continue
             count = ckpt_opt_count(path)
+            # Legacy cache entries (pre-opt-count keying) default to -1,
+            # never `count`: otherwise exactly the stale mid-budget
+            # re-evals the keying was added to refresh would be treated
+            # as permanently current (ADVICE r3).
             if key in results and \
-                    results[key].get("_opt_count", count) == count:
+                    results[key].get("_opt_count", -1) == count:
                 print(f"skip {key} (done @{count})", flush=True)
                 continue
             t0 = time.time()

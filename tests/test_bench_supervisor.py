@@ -23,9 +23,10 @@ import pytest
 BENCH = os.path.join(os.path.dirname(__file__), os.pardir, "bench.py")
 
 
-def run_bench(stub, extra=(), timeout=150):
+def run_bench(stub, extra=(), timeout=150, env_extra=None):
     env = dict(os.environ)
     env["PVR_BENCH_STUB"] = stub
+    env.update(env_extra or {})
     # Budget under 150 s skips the wedge cool-down sleep (keeps tests
     # fast) but stays above the 45 s minimum-attempt threshold.
     # 45 s per-attempt deadline: bare python startup measures ~12 s
@@ -77,6 +78,29 @@ def test_hung_child_is_killed_at_deadline():
     # -> fallback path.
     assert payload["path"] == "off"
     assert "killed" in payload["note"]
+
+
+def test_wedged_init_is_killed_by_parent_phase_limit():
+    # A child GIL-blocked in backend_init never fires its own SIGALRM
+    # (round-3 failure mode: 240 s burned waiting on a wedged init).
+    # The PARENT must kill it at the phase limit, classify it as a
+    # wedge, and retry on the same path.
+    rc, payload, _ = run_bench("init_hang:ok",
+                               env_extra={"PVR_BENCH_INIT_LIMIT": "5"})
+    assert rc == 0
+    assert payload["value"] == 12345.0
+    assert payload["path"] == "int8"
+    assert "stuck in backend_init" in payload["note"]
+
+
+def test_two_wedge_failures_fall_back_to_bf16():
+    # After two wedge failures the supervisor drops to the bf16 path
+    # (fewer compile/dispatch steps -> better capture odds in a brief
+    # healthy window late in the budget).
+    rc, payload, _ = run_bench("wedge:wedge:ok")
+    assert rc == 0
+    assert payload["value"] == 12345.0
+    assert payload["path"] == "off"
 
 
 def test_total_failure_emits_attributed_sentinel():

@@ -164,3 +164,54 @@ def test_shape_mismatch_does_not_kill_dispatcher(server):
     np.testing.assert_allclose(client(frames), net(frames),
                                atol=1e-4, rtol=1e-4)
     client.close()
+
+
+def test_failed_group_still_delivers_earlier_replies():
+    """When one shape-group's forward fails inside a micro-batch
+    window, a connection that pipelined requests across groups must
+    still receive its replies UP TO the failure point, in order, and
+    only then see EOF (ADVICE r3: closing first swallowed the already-
+    computed replies)."""
+    from pvr_habitat_tpu.tools.serve_embeddings import (EmbeddingServer,
+                                                        _RSP)
+
+    class FlakyNet:
+        out_size = 8
+
+        def __call__(self, frames):
+            if frames.shape[1] == 48:            # the poisoned shape
+                raise ValueError("boom")
+            return np.zeros((frames.shape[0], 8), np.float32)
+
+    class FakeConn:
+        def __init__(self):
+            self.sent = []
+            self.closed = False
+
+        def sendall(self, payload):
+            if self.closed:
+                raise ConnectionError("closed")
+            self.sent.append(payload)
+
+        def close(self):
+            self.closed = True
+
+    srv = EmbeddingServer.__new__(EmbeddingServer)  # no sockets needed
+    srv.net = FlakyNet()
+    srv.requests_served = 0
+    srv.batches_served = 0
+
+    good = np.zeros((2, 32, 32, 3), np.uint8)
+    bad = np.zeros((2, 48, 48, 3), np.uint8)
+    conn = FakeConn()          # pipelines good, bad, good
+    other = FakeConn()         # an innocent bystander in the window
+    srv._serve_window([(good, conn), (bad, conn), (good, conn),
+                       (good, other)])
+
+    # conn: reply #1 delivered, #2 failed -> close, #3 suppressed.
+    assert len(conn.sent) == 1
+    n, d = _RSP.unpack(conn.sent[0][:_RSP.size])
+    assert (n, d) == (2, 8)
+    assert conn.closed
+    # the bystander is untouched.
+    assert len(other.sent) == 1 and not other.closed

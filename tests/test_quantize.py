@@ -300,3 +300,34 @@ def test_int8_basic_block_resnet18():
     cos = (got * want).sum(-1) / (np.linalg.norm(got, axis=-1)
                                   * np.linalg.norm(want, axis=-1))
     assert cos.min() > 0.98, cos
+
+
+@pytest.mark.slow
+def test_int8_maskrcnn_l3():
+    """The last zoo family to get a W8A8 path (VERDICT r3 #5): the
+    detectron2-style '<conv>.norm' FrozenBN pairs fold like eval-mode
+    BN (f32 parity of folded vs unfolded), and the int8 serving path
+    clears the same cosine gate as the other ResNet-C4 profiles."""
+    from pvr_habitat_tpu.models import maskrcnn
+    from pvr_habitat_tpu.models.registry import int8_serving_fns
+    from pvr_habitat_tpu.ops.image import maskrcnn_preprocess
+
+    params = maskrcnn.init_params(np.random.RandomState(7))
+    x = maskrcnn_preprocess()(jnp.asarray(
+        np.random.RandomState(8).randint(0, 256, (2, 64, 64, 3),
+                                         np.uint8)))
+    want = np.asarray(maskrcnn.apply(params, x))
+
+    folded = fold_resnet_bn(params)
+    got_folded = np.asarray(maskrcnn.apply(folded, x))
+    np.testing.assert_allclose(got_folded, want, atol=1e-3, rtol=1e-3)
+
+    quantize_params, apply_q = int8_serving_fns("maskrcnn_l3")
+    params_q = quantize_params(folded)
+    out, scales = apply_q(params_q, x, None)          # calibrate
+    assert out.shape == (2, 2156)
+    out2, _ = apply_q(params_q, x, scales)            # serve
+    for got in (np.asarray(out), np.asarray(out2)):
+        cos = (got * want).sum() / (np.linalg.norm(got)
+                                    * np.linalg.norm(want))
+        assert cos > 0.98, cos

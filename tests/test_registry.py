@@ -108,9 +108,22 @@ def test_flat_artifact_does_not_shadow_pretrained_checkpoint(tmp_path):
         np.asarray(ref.params["conv1.weight"]))
 
 
-def test_corrupt_torch_checkpoint_falls_back_to_seeded_init(tmp_path):
-    """A non-torch file at a CHECKPOINT_FILES path warns and falls back
-    to the deterministic seeded init instead of raising."""
+def test_corrupt_torch_checkpoint_raises_by_default(tmp_path):
+    """pretrained=True with a FOUND-but-corrupt checkpoint must fail
+    fast by default — silently serving random features would invalidate
+    results (ADVICE r3; the reference also fails fast here)."""
+    (tmp_path / "resnet50_l3.tar").write_bytes(b"not a torch checkpoint")
+    with pytest.raises(RuntimeError, match="failed to load checkpoint"):
+        registry.build_encoder("resnet50_l3", pretrained=True,
+                               checkpoint_dir=str(tmp_path))
+
+
+def test_corrupt_torch_checkpoint_falls_back_when_opted_in(
+        tmp_path, monkeypatch):
+    """With PVR_TPU_CKPT_FALLBACK=1 (study/sweep drivers), a non-torch
+    file at a CHECKPOINT_FILES path warns and falls back to the
+    deterministic seeded init instead of raising."""
+    monkeypatch.setenv("PVR_TPU_CKPT_FALLBACK", "1")
     (tmp_path / "resnet50_l3.tar").write_bytes(b"not a torch checkpoint")
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -123,13 +136,14 @@ def test_corrupt_torch_checkpoint_falls_back_to_seeded_init(tmp_path):
         np.asarray(ref.params["conv1.weight"]))
 
 
-def test_foreign_keys_checkpoint_falls_back_to_seeded_init(tmp_path):
+def test_foreign_keys_checkpoint_falls_back_when_opted_in(
+        tmp_path, monkeypatch):
     """A torch-LOADABLE checkpoint whose keys do not match the encoder
     (e.g. a file copied to the wrong name) fails in surgery/key-check,
-    not in torch.load — that too must warn + fall back, not crash a
-    study run."""
+    not in torch.load — opted-in fallback must catch that too."""
     import torch
 
+    monkeypatch.setenv("PVR_TPU_CKPT_FALLBACK", "1")
     torch.save({"state_dict": {"some.other.model.weight":
                                torch.zeros(1)}},
                str(tmp_path / "resnet50_l3.tar"))

@@ -146,3 +146,18 @@ def test_sweep_routes_runners_through_submitit(fake_submitit, tmp_path):
     for _, (flags,) in ex._executor.submitted:
         assert flags.essential_save_only
         assert flags.batch_norm
+
+
+def test_legacy_knobs_warn_deprecation(fake_submitit):
+    """The round-2 shim must not silently discard an explicit
+    timeout_min/mem_gb/cpus (ADVICE r3): callers get a
+    DeprecationWarning naming the ignored knob."""
+    import warnings as _warnings
+
+    from pvr_habitat_tpu.tools.sweep import submitit_executor
+
+    with pytest.warns(DeprecationWarning, match="timeout_min, mem_gb"):
+        submitit_executor("learnfair", timeout_min=60, mem_gb=64)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")       # no knobs -> no warning
+        submitit_executor("learnfair")
