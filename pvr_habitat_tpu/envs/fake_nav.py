@@ -351,11 +351,24 @@ class FakeNavSim:
 
     # -- expert (greedy geodesic follower) ---------------------------------
 
+    # Waypoint lookahead (cells) for the expert's steering target.
+    EXPERT_LOOKAHEAD = 8
+
     def shortest_path_actions(self, max_steps=None):
         """Action sequence (habitat ids 1..3) from the episode start to
         the goal via greedy descent of the BFS field; the habitat
         ``get_action_shortest_path`` equivalent.  Returns None when no
-        path exists (GreedyFollowerError analogue)."""
+        path exists (GreedyFollowerError analogue).
+
+        Steering (round-4, VERDICT r3 #4): aims at the farthest
+        line-of-sight-visible cell along the geodesic descent (up to
+        EXPERT_LOOKAHEAD cells) instead of the adjacent cell.  Chasing
+        the adjacent cell's center flips the bearing sign as the agent
+        passes near it, producing left/right chatter that is hard for
+        BC to imitate (compounding error feeds on incoherent
+        supervision); a far waypoint yields long coherent FORWARD runs
+        with occasional turn bursts — the same action texture habitat's
+        geodesic greedy follower emits."""
         max_steps = max_steps or self.max_episode_steps
         pos = self.start_position.copy()
         heading = getattr(self, "_start_heading", 0.0)
@@ -366,18 +379,17 @@ class FakeNavSim:
         while len(actions) < max_steps:
             if self._geo_at(pos) <= SUCCESS_DISTANCE:
                 break
-            target = self._descend_cell(pos)
+            target = self._waypoint(pos)
             if target is None:
                 return None
-            tx = (target[0] + 0.5) * CELL
-            tz = (target[1] + 0.5) * CELL
-            bearing = np.arctan2(tz - pos[2], tx - pos[0])
+            bearing = np.arctan2(target[1] - pos[2], target[0] - pos[0])
             err = (bearing - heading + np.pi) % (2 * np.pi) - np.pi
             if abs(err) <= np.deg2rad(15.0):
                 delta = FORWARD_STEP * np.array(
                     [np.cos(heading), 0.0, np.sin(heading)], np.float32)
                 cand = pos + delta
-                if self.is_navigable(cand):
+                if self.is_navigable(cand) and \
+                        self._geo_at(cand) <= self._geo_at(pos) + CELL:
                     pos = cand
                     actions.append(1)
                     stall = 0
@@ -393,8 +405,8 @@ class FakeNavSim:
     def _geo_at(self, pos):
         return float(self._field[self._cell(pos)])
 
-    def _descend_cell(self, pos):
-        x, z = self._cell(pos)
+    def _descend_from(self, cell):
+        x, z = cell
         best, best_d = None, self._field[x, z]
         for dx, dz in ((1, 0), (-1, 0), (0, 1), (0, -1),
                        (1, 1), (1, -1), (-1, 1), (-1, -1)):
@@ -404,5 +416,38 @@ class FakeNavSim:
                 if d < best_d:
                     best, best_d = (nx, nz), d
         if best is None:
-            return (x, z) if best_d <= CELL else None
+            return cell if best_d <= CELL else None
         return best
+
+    def _line_of_sight(self, pos, tx, tz):
+        dx, dz = tx - pos[0], tz - pos[2]
+        dist = float(np.hypot(dx, dz))
+        n = max(int(dist / (CELL / 2)), 1)
+        for i in range(1, n + 1):
+            f = i / n
+            if self.occ[self._cell((pos[0] + f * dx, 0.0,
+                                    pos[2] + f * dz))]:
+                return False
+        return True
+
+    def _waypoint(self, pos):
+        """(x, z) of the farthest visible cell center along the greedy
+        BFS descent, or the adjacent descend cell as fallback."""
+        cell = self._cell(pos)
+        path = [cell]
+        for _ in range(self.EXPERT_LOOKAHEAD):
+            nxt = self._descend_from(path[-1])
+            if nxt is None or nxt == path[-1]:
+                break
+            path.append(nxt)
+        if len(path) == 1:
+            nxt = self._descend_from(cell)
+            if nxt is None:
+                return None
+            path.append(nxt)
+        for c in reversed(path[1:]):
+            tx, tz = (c[0] + 0.5) * CELL, (c[1] + 0.5) * CELL
+            if self._line_of_sight(pos, tx, tz):
+                return tx, tz
+        c = path[1]
+        return (c[0] + 0.5) * CELL, (c[1] + 0.5) * CELL

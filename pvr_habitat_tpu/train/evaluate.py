@@ -29,15 +29,38 @@ def _policy_step(params, batch_stats, obs, done, core_state, *,
     return outputs["action"], new_state
 
 
+@functools.partial(jax.jit, static_argnames=("batch_norm", "conv_policy"))
+def _policy_step_sampled(params, batch_stats, obs, done, core_state, rng, *,
+                         batch_norm, conv_policy):
+    """Eval forward (eval-mode BN, no stats update) but with the
+    reference's TRAIN-mode action rule — multinomial over the logits
+    (src/models.py:78-82) — for A/B-ing stochastic online evaluation
+    against greedy argmax (VERDICT r3 #4)."""
+    apply_fn = (policy_mod.apply_conv_policy if conv_policy
+                else policy_mod.apply_policy)
+    outputs, new_state, _ = apply_fn(
+        params, batch_stats, dict(obs=obs, done=done), core_state,
+        batch_norm=batch_norm, train=False)
+    rng, sub = jax.random.split(rng)
+    action = jax.random.categorical(sub, outputs["policy_logits"], axis=-1)
+    return action, new_state, rng
+
+
 class PolicyRunner:
-    """Frozen eval-mode policy (the reference's ``test_model``)."""
+    """Frozen eval-mode policy (the reference's ``test_model``).
+
+    ``sample=True`` selects actions by multinomial sampling instead of
+    argmax (the reference's train-mode rule, src/models.py:78-82) while
+    keeping BatchNorm in eval mode — the stochastic-eval A/B knob."""
 
     def __init__(self, params, batch_stats=None, *, batch_norm=False,
-                 conv_policy=False):
+                 conv_policy=False, sample=False, sample_seed=0):
         self.params = params
         self.batch_stats = batch_stats or {}
         self.batch_norm = batch_norm
         self.conv_policy = conv_policy
+        self.sample = sample
+        self._rng = jax.random.PRNGKey(sample_seed)
 
     def initial_state(self, batch_size=1):
         return policy_mod.initial_state(batch_size)
@@ -45,9 +68,15 @@ class PolicyRunner:
     def __call__(self, env_output, core_state):
         obs = jnp.asarray(env_output["obs"])
         done = jnp.asarray(env_output["done"])
-        action, new_state = _policy_step(
-            self.params, self.batch_stats, obs, done, core_state,
-            batch_norm=self.batch_norm, conv_policy=self.conv_policy)
+        if self.sample:
+            action, new_state, self._rng = _policy_step_sampled(
+                self.params, self.batch_stats, obs, done, core_state,
+                self._rng, batch_norm=self.batch_norm,
+                conv_policy=self.conv_policy)
+        else:
+            action, new_state = _policy_step(
+                self.params, self.batch_stats, obs, done, core_state,
+                batch_norm=self.batch_norm, conv_policy=self.conv_policy)
         return dict(action=np.asarray(action)), new_state
 
 

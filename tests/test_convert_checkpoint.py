@@ -190,3 +190,148 @@ def test_scheme_mae_model_key_with_decoder(tmp_path):
     want = convert.torch_state_dict_to_flat(model.state_dict())
     assert set(handle.params) == set(want)
     _forward_parity(handle, model, hw=224, seed=4, atol=1e-3)
+
+
+# -----------------------------------------------------------------------------
+# VERDICT r3 #7: the FULL conversion sweep — every CHECKPOINT_FILES name
+# round-trips a full-shape torch state_dict in the reference's exact
+# on-disk layout (wrapper payload + key prefixes + training junk) through
+# surgery -> convert -> registry.build_encoder.  A future real-weight
+# drop then needs zero code: staging the file under CHECKPOINT_FILES[name]
+# is sufficient.  References: src/vision_models/moco.py:6-113 (encoder_q
+# surgery), resnet.py:6-104 (module strip + l3/l4 grafts),
+# src/embeddings.py:121-195 (checkpoint paths per name).
+# -----------------------------------------------------------------------------
+
+import pytest
+
+from tests.test_registry import _expected as _expected_dim
+from tests.torch_ref import maskrcnn as oracle_mask
+from tests.torch_ref import vit as oracle_vit
+from tests.torch_ref.clip_rn50 import ModifiedResNet
+
+_MAE_CFG = {"mae_base": (768, 12, 12, 16), "mae_large": (1024, 24, 16, 16),
+            "mae_huge": (1280, 32, 16, 14)}
+
+
+def _moco_payload(inner):
+    """MoCo-v2 on-disk layout: module.encoder_q.* + MLP-head fc junk +
+    momentum encoder + queue (src/vision_models/moco.py:14-24)."""
+    state = {f"module.encoder_q.{k}": v
+             for k, v in inner.state_dict().items()}
+    state["module.encoder_q.fc.0.weight"] = torch.zeros(2048, 2048)
+    state["module.encoder_q.fc.0.bias"] = torch.zeros(2048)
+    state["module.encoder_q.fc.2.weight"] = torch.zeros(128, 2048)
+    state.update({f"module.encoder_k.{k}": torch.zeros_like(v)
+                  for k, v in list(inner.state_dict().items())[:3]})
+    state["queue"] = torch.zeros(128, 65536)
+    state["queue_ptr"] = torch.zeros(1, dtype=torch.long)
+    return {"state_dict": state, "epoch": 200, "arch": "resnet50"}
+
+
+def _full_shape_payload(name, seed):
+    """(payload in the reference's on-disk layout, core torch state_dict
+    whose flat conversion must equal the built encoder's params)."""
+    if name in ("resnet18", "resnet34", "resnet50"):
+        model = getattr(tref, name)()
+        _randomize_bn(model, seed)
+        return dict(model.state_dict()), model.state_dict()
+    if name == "resnet50_places":
+        model = tref.resnet50()
+        _randomize_bn(model, seed)
+        state = {f"module.{k}": v for k, v in model.state_dict().items()}
+        state["module.fc.weight"] = torch.zeros(365, 2048)
+        state["module.fc.bias"] = torch.zeros(365)
+        return {"state_dict": state}, model.state_dict()
+    if name == "demy":
+        model = tref.resnet50()
+        _randomize_bn(model, seed)
+        return _moco_payload(model), model.state_dict()
+    if name.startswith("resnet50") and name.endswith(("_l3", "_l4")):
+        inner = tref.resnet50_compressed(name[-2:]).model
+        _randomize_bn(inner, seed)
+        state = {f"module.{k}": v for k, v in inner.state_dict().items()}
+        return {"state_dict": state}, inner.state_dict()
+    if name.startswith("moco_") and name.endswith(("_l3", "_l4")):
+        inner = tref.resnet50_compressed(name[-2:]).model
+        _randomize_bn(inner, seed)
+        return _moco_payload(inner), inner.state_dict()
+    if name.startswith("moco_"):
+        model = tref.resnet50()
+        _randomize_bn(model, seed)
+        return _moco_payload(model), model.state_dict()
+    if name == "maskrcnn_l3":
+        model = oracle_mask.C4Backbone()
+        _randomize_bn(model, seed)
+        state = {f"backbone.{k}": v for k, v in model.state_dict().items()}
+        state["proposal_generator.rpn_head.conv.weight"] = \
+            torch.zeros(1024, 1024, 3, 3)
+        state["roi_heads.box_predictor.cls_score.weight"] = \
+            torch.zeros(81, 2048)
+        state["pixel_mean"] = torch.zeros(3)
+        return {"model": state, "iteration": 9999}, model.state_dict()
+    if name in _MAE_CFG:
+        dim, depth, heads, patch = _MAE_CFG[name]
+        model = oracle_vit.MAEEncoder(dim=dim, depth=depth, heads=heads,
+                                      patch=patch)
+        state = dict(model.state_dict())
+        state["mask_token"] = torch.zeros(1, 1, 512)
+        state["decoder_pos_embed"] = torch.zeros(1, 197, 512)
+        state["decoder_embed.weight"] = torch.zeros(512, dim)
+        state["decoder_blocks.0.norm1.weight"] = torch.zeros(512)
+        state["decoder_pred.weight"] = torch.zeros(patch * patch * 3, 512)
+        state["decoder_norm.weight"] = torch.zeros(512)
+        return {"model": state}, model.state_dict()
+    if name == "clip_vit":
+        model = oracle_vit.CLIPVisionTransformer()
+        state = {f"visual.{k}": v for k, v in model.state_dict().items()}
+        core = dict(state)
+        state["positional_embedding"] = torch.zeros(77, 512)
+        state["text_projection"] = torch.zeros(512, 512)
+        state["logit_scale"] = torch.zeros(())
+        state["token_embedding.weight"] = torch.zeros(49408, 512)
+        state["ln_final.weight"] = torch.zeros(512)
+        state["transformer.resblocks.0.attn.in_proj_weight"] = \
+            torch.zeros(1536, 512)
+        return state, core
+    if name == "clip_rn50":
+        model = ModifiedResNet()
+        _randomize_bn(model, seed)
+        state = {f"visual.{k}": v for k, v in model.state_dict().items()}
+        core = dict(state)
+        state["positional_embedding"] = torch.zeros(77, 512)
+        state["text_projection"] = torch.zeros(512, 1024)
+        state["logit_scale"] = torch.zeros(())
+        state["token_embedding.weight"] = torch.zeros(49408, 512)
+        return state, core
+    raise AssertionError(f"no payload builder for {name}")
+
+
+_SWEEP_NAMES = [
+    pytest.param(n, marks=pytest.mark.slow)
+    if n in ("mae_large", "mae_huge") else n
+    for n in sorted(CHECKPOINT_FILES)
+]
+
+
+@pytest.mark.parametrize("name", _SWEEP_NAMES)
+def test_full_shape_checkpoint_conversion_sweep(name, tmp_path):
+    """Stage a full-shape reference-layout checkpoint under the name's
+    CHECKPOINT_FILES path and build the encoder from it: the converted
+    params must match the torch state dict exactly (values AND key set —
+    check_expected inside the loaders guarantees nothing is silently
+    missing) and the handle must report the SURVEY §2.4 output dim."""
+    seed = abs(hash(name)) % 1000
+    payload, core_state = _full_shape_payload(name, seed)
+    _stage(tmp_path, name, payload)
+
+    handle = build_encoder(name, pretrained=True,
+                           checkpoint_dir=str(tmp_path))
+    want = convert.torch_state_dict_to_flat(core_state)
+    assert set(handle.params) == set(want), name
+    for k in sorted(want):
+        got = np.asarray(handle.params[k])
+        assert got.shape == np.asarray(want[k]).shape, (name, k)
+        np.testing.assert_array_equal(got, np.asarray(want[k]),
+                                      err_msg=f"{name}:{k}")
+    assert handle.out_size == _expected_dim(name), name
