@@ -91,6 +91,34 @@ DEFAULT_CACHE_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
 
 
+_SCALES_VERSION = 1  # bump when the calibration recipe changes
+
+
+def _scales_cache_path():
+    cache_dir = os.environ.get("PVR_BENCH_CACHE_DIR", DEFAULT_CACHE_DIR)
+    return os.path.join(cache_dir,
+                        f"int8_scales_v{_SCALES_VERSION}.json")
+
+
+def _load_cached_scales():
+    try:
+        with open(_scales_cache_path()) as handle:
+            return {k: float(v) for k, v in json.load(handle).items()}
+    except (OSError, ValueError):
+        return None
+
+
+def _store_cached_scales(scales):
+    try:
+        path = _scales_cache_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".tmp", "w") as handle:
+            json.dump(scales, handle)
+        os.replace(path + ".tmp", path)
+    except OSError:
+        pass  # cache is an optimization, never fatal
+
+
 def _emit(payload):
     print(json.dumps(payload))
     sys.stdout.flush()
@@ -198,15 +226,23 @@ def build_forward(batch_size, dtype=None, fused="off"):
         from pvr_habitat_tpu.ops import quantize as q
 
         params_q = jax.jit(q.quantize_resnet_params)(_device_init(params))
-        calib = _device_frames(32, seed=1)
-        x = preprocess(calib, precision=jax.lax.Precision.DEFAULT,
-                       out_dtype=jnp.bfloat16)
-        _, scales = resnet.apply_int8(params_q, x, spec)
-        # ONE stacked fetch for all activation scales (per-scalar
-        # float() fetches pay a ~24 ms+ round-trip each).
-        names = sorted(scales)
-        stacked = np.asarray(jnp.stack([scales[n] for n in names]))
-        scales = {n: float(v) for n, v in zip(names, stacked)}
+        # The scales are a pure function of the seeded params + seeded
+        # calibration batch, so they persist next to the compile cache:
+        # a retry (or the driver's end-of-round run) skips the whole
+        # calibration dispatch — on a slow tunnel that phase alone can
+        # exceed 180 s (observed 2026-08-19).
+        scales = _load_cached_scales()
+        if scales is None:
+            calib = _device_frames(32, seed=1)
+            x = preprocess(calib, precision=jax.lax.Precision.DEFAULT,
+                           out_dtype=jnp.bfloat16)
+            _, scales = resnet.apply_int8(params_q, x, spec)
+            # ONE stacked fetch for all activation scales (per-scalar
+            # float() fetches pay a ~24 ms+ round-trip each).
+            names = sorted(scales)
+            stacked = np.asarray(jnp.stack([scales[n] for n in names]))
+            scales = {n: float(v) for n, v in zip(names, stacked)}
+            _store_cached_scales(scales)
 
         @jax.jit
         def forward_q(params, frames):
@@ -338,8 +374,16 @@ def run_child(args):
 # ---------------------------------------------------------------------------
 
 def _launch_attempt(args, fused, deadline_s, stub_behavior=None,
-                    probe_only=False):
-    """Run one child attempt; returns (ok, payload_or_None, last_phase)."""
+                    probe_only=False, hard_deadline_s=None):
+    """Run one child attempt; returns (ok, payload_or_None, last_phase).
+
+    ``deadline_s`` applies only while the child sits in the wedge-prone
+    phases (launch/backend_init/tiny_probe).  A child that reached the
+    compute phases is PROGRESSING — killing it mid-RPC is what renews a
+    terminal-side wedge for tens of minutes (observed 2026-08-18/19:
+    attempt 1 killed mid-calibrate wedged attempts 2-3's tiny_probe) —
+    so past the probe it owns the budget up to ``hard_deadline_s``
+    (default: same as deadline_s), the supervisor's one-JSON-line floor."""
     cmd = [sys.executable, os.path.abspath(__file__), "--child",
            "--fused", fused,
            "--batch_size", str(args.batch_size),
@@ -384,10 +428,14 @@ def _launch_attempt(args, fused, deadline_s, stub_behavior=None,
             pass
         now = time.time()
         override = os.environ.get("PVR_BENCH_INIT_LIMIT")
-        if now - start > deadline_s:
+        phase, entered = last_phase
+        in_wedge_phase = any(phase.startswith(w) for w in WEDGE_PHASES)
+        hard = hard_deadline_s if hard_deadline_s is not None else deadline_s
+        if now - start > hard:
+            killed = f"killed at {hard:.0f}s"
+        elif in_wedge_phase and now - start > deadline_s:
             killed = f"killed at {deadline_s:.0f}s"
         else:
-            phase, entered = last_phase
             limit = PARENT_PHASE_LIMITS.get(phase)
             if limit is not None and override:
                 limit = float(override)  # test hook
@@ -440,12 +488,18 @@ def supervise(args):
     while remaining() >= 45 and not (stubs == [] and
                                      os.environ.get("PVR_BENCH_STUB")):
         i += 1
-        # Cap the attempt so a failure still leaves room for a fallback.
-        deadline = min(max(remaining() - 10, 40), args.attempt_deadline)
+        # The wedge-phase deadline caps how long a NON-progressing
+        # attempt can cost (so several retries fit in the budget); a
+        # progressing attempt runs to the budget floor — slow beats
+        # killed, because a killed in-flight RPC renews the wedge.
+        hard = max(remaining() - 10, 40)
+        deadline = min(hard, args.attempt_deadline)
         _log(f"[bench] attempt {i} path={fused} "
-             f"deadline={deadline:.0f}s budget_left={remaining():.0f}s")
+             f"deadline={deadline:.0f}s hard={hard:.0f}s "
+             f"budget_left={remaining():.0f}s")
         ok, payload, phase = _launch_attempt(args, fused, deadline,
-                                             stub_behavior=next_stub())
+                                             stub_behavior=next_stub(),
+                                             hard_deadline_s=hard)
         if ok:
             if failures:
                 payload["note"] = (f"attempt {i} succeeded after: "
