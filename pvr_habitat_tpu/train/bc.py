@@ -58,8 +58,15 @@ def _load_precomputed(flags, from_env):
     parts = {k: [] for k in ("obs", "action", "reward", "done")}
     for env_id in from_env.split(","):
         if flags.embedding_name == "true_state":
-            # true_state is saved with every embedding; take resnet50's.
-            path = formats.embedded_path(flags.data_path, env_id, "resnet50")
+            # true_state is saved with every embedding; prefer a pickle
+            # the bulk embedder wrote FOR true_state itself, fall back
+            # to resnet50's (the reference's implicit convention —
+            # main_bc_2.py:111-148 assumes some embedded pickle exists).
+            path = formats.embedded_path(flags.data_path, env_id,
+                                         "true_state")
+            if not os.path.isfile(path):
+                path = formats.embedded_path(flags.data_path, env_id,
+                                             "resnet50")
         else:
             path = formats.embedded_path(flags.data_path, env_id,
                                          flags.embedding_name)
