@@ -94,17 +94,47 @@ DEFAULT_CACHE_DIR = os.path.join(
 _SCALES_VERSION = 1  # bump when the calibration recipe changes
 
 
+def _scales_recipe_digest():
+    """Digest of the calibration recipe's inputs so drift (quantize or
+    resnet source, this file, jax version) invalidates the cache
+    automatically instead of serving stale scales (ADVICE r4).  Called
+    only in the child, after jax is importable; importing jax does not
+    initialize a backend."""
+    import hashlib
+
+    import jax
+
+    from pvr_habitat_tpu.models import resnet
+    from pvr_habitat_tpu.ops import quantize
+
+    digest = hashlib.sha256(jax.__version__.encode())
+    for source in (quantize.__file__, resnet.__file__,
+                   os.path.abspath(__file__)):
+        try:
+            with open(source, "rb") as handle:
+                digest.update(handle.read())
+        except OSError:
+            digest.update(b"?")
+    return digest.hexdigest()[:12]
+
+
 def _scales_cache_path():
     cache_dir = os.environ.get("PVR_BENCH_CACHE_DIR", DEFAULT_CACHE_DIR)
-    return os.path.join(cache_dir,
-                        f"int8_scales_v{_SCALES_VERSION}.json")
+    return os.path.join(
+        cache_dir,
+        f"int8_scales_v{_SCALES_VERSION}_{_scales_recipe_digest()}.json")
 
 
 def _load_cached_scales():
     try:
         with open(_scales_cache_path()) as handle:
-            return {k: float(v) for k, v in json.load(handle).items()}
-    except (OSError, ValueError):
+            obj = json.load(handle)
+        if not isinstance(obj, dict):
+            return None
+        return {k: float(v) for k, v in obj.items()}
+    except Exception:
+        # A corrupt/garbage cache degrades to recalibration, never to a
+        # crashed calibrate phase (ADVICE r4).
         return None
 
 
@@ -492,7 +522,11 @@ def supervise(args):
         # attempt can cost (so several retries fit in the budget); a
         # progressing attempt runs to the budget floor — slow beats
         # killed, because a killed in-flight RPC renews the wedge.
-        hard = max(remaining() - 10, 40)
+        # The floor is additionally capped at 3x the attempt deadline
+        # so one dead post-probe child (e.g. a pathological host-side
+        # compile) cannot zero an otherwise-healthy large budget
+        # (ADVICE r4); at the default 400s budget this is a no-op.
+        hard = max(min(remaining() - 10, 3 * args.attempt_deadline), 40)
         deadline = min(hard, args.attempt_deadline)
         _log(f"[bench] attempt {i} path={fused} "
              f"deadline={deadline:.0f}s hard={hard:.0f}s "

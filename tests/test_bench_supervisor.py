@@ -16,6 +16,7 @@ per-attempt behaviors) and pin the resilience contract:
 
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -84,9 +85,12 @@ def test_post_probe_child_owns_the_budget_floor():
     assert rc == 2
     assert payload["value"] == 0.0
     assert "compile_warmup" in payload["note"]
-    # Budget 60 -> floor ~50s; decisively above the 15s attempt deadline.
-    assert "killed at 49s" in payload["note"] or \
-        "killed at 50s" in payload["note"]
+    # The kill lands at the budget floor: decisively above the 15s
+    # attempt deadline but inside the 60s budget (parsed, not pinned to
+    # the floor formula — ADVICE r4).
+    match = re.search(r"killed at (\d+)s", payload["note"])
+    assert match, payload["note"]
+    assert 15 < int(match.group(1)) <= 60
 
 
 def test_wedged_init_is_killed_by_parent_phase_limit():
