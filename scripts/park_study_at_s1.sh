@@ -14,7 +14,7 @@ kill -KILL -$PGID 2>/dev/null
 echo "parked at s1 boundary $(date)" >> $LOG
 cd /root/repo
 setsid python scripts/encoder_study.py --workdir /root/study_r5 \
-    --seeds 2 --encoders resnet50,resnet50_l3,mae_base,random \
+    --seeds 2 --encoders resnet50,resnet50_l3,random \
     --abort_on_fail 3 >> $LOG 2>&1 < /dev/null &
 echo $! > /tmp/study.pid
 echo "relaunched seeds-2 grid pid $(cat /tmp/study.pid)"
