@@ -190,7 +190,21 @@ class FakeNavSim:
         self.rng = np.random.RandomState(seed + _scene_seed(scene) % 10007)
         self.pos = self.sample_navigable_point()
         self.heading = 0.0
-        self.goal_position = self.sample_navigable_point()
+        # The PointNav goal is a SCENE property, not an env-instance
+        # property: the reference pins it to the scene dataset's
+        # episodes[0].goals[0] (src/gym_wrappers.py:210,251,265 reads
+        # it; behavioral_cloning/save_opt_trajectories.py:45 generates
+        # expert data toward it), so datagen, training, and every eval
+        # env — whatever its seed — navigate to the SAME goal, and
+        # randomize() redraws only the start.  Round 5 found the
+        # original env-seed-drawn goal silently broke that contract:
+        # each eval env got its own goal, so BC was scored on goals it
+        # was never trained toward (docs/DESIGN.md "eval-protocol
+        # dissection").  ImageNav still redraws goals per episode via
+        # randomize_goal(), as in the reference.
+        goal_rng = np.random.RandomState((_scene_seed(scene) + 9173)
+                                         % (2 ** 31))
+        self.goal_position = self._sample_navigable_point_from(goal_rng)
         self._field = _bfs_field(self.occ, self._cell(self.goal_position))
         self._steps = 0
         self._episode_over = False
@@ -208,9 +222,12 @@ class FakeNavSim:
         return not self.occ[x, z]
 
     def sample_navigable_point(self):
+        return self._sample_navigable_point_from(self.rng)
+
+    def _sample_navigable_point_from(self, rng):
         while True:
-            x = self.rng.uniform(CELL, (GRID - 1) * CELL)
-            z = self.rng.uniform(CELL, (GRID - 1) * CELL)
+            x = rng.uniform(CELL, (GRID - 1) * CELL)
+            z = rng.uniform(CELL, (GRID - 1) * CELL)
             pos = np.array([x, 0.0, z], np.float32)
             if self.is_navigable(pos):
                 return pos
